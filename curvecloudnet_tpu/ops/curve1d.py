@@ -1,0 +1,211 @@
+"""Curve-geodesic (along-polyline) operators on batch-padded curve clouds.
+
+TPU-native redesign of the reference's 1D curve ops
+(``src/models/utils/point_ops.py:114-260`` and
+``src/models/modules/fast_conv1d.py``): every op is a *static windowed gather*
+along the scan axis with same-curve masks, instead of dynamic COO edge lists.
+
+Shared conventions: see ops/segments.py. Offset ordering inside windows is
+[0, -1, +1, -2, +2, ...] (near-to-far), matching the reference's offset table
+(point_ops.py:119-120) so "first k valid" truncation selects the same
+neighbors.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from . import segments
+from .sampling import gather_rows
+
+_FAR = jnp.float32(100.0)  # invalid-distance fill, mirrors point_ops.py:231
+
+
+def interleaved_offsets(window: int) -> jnp.ndarray:
+    """[0, -1, 1, -2, 2, ..., -window, window] — int32, length 2*window+1."""
+    pairs = jnp.stack(
+        [-jnp.arange(1, window + 1), jnp.arange(1, window + 1)], axis=1
+    ).flatten()
+    return jnp.concatenate([jnp.zeros(1, jnp.int32), pairs.astype(jnp.int32)])
+
+
+def shift_fill(x: jax.Array, d: int, fill=0):
+    """Shift along axis 1 by d (positive pulls from the right), zero fill."""
+    if d == 0:
+        return x
+    pad = [(0, 0)] * x.ndim
+    if d > 0:
+        pad[1] = (0, d)
+        return jnp.pad(x, pad, constant_values=fill)[:, d:]
+    pad[1] = (-d, 0)
+    return jnp.pad(x, pad, constant_values=fill)[:, : x.shape[1]]
+
+
+def same_curve_shift_mask(curve_id: jax.Array, valid: jax.Array,
+                          d: int) -> jax.Array:
+    """(B, N) bool: point i and point i+d exist and share a curve."""
+    cid = segments.padded_curve_id(curve_id, valid)
+    cid_shift = shift_fill(cid, d, fill=-1)
+    v_shift = shift_fill(valid, d, fill=False)
+    return valid & v_shift & (cid == cid_shift)
+
+
+def knn_1d_group_subset(idx: jax.Array, idx_valid: jax.Array,
+                        curve_id: jax.Array, valid: jax.Array,
+                        k: int, window: int | None = None):
+    """Geodesic kNN along the curve for a subset of query points.
+
+    Parallel of reference ``knn_1d_group_subset`` (point_ops.py:114-140).
+
+    Args:
+      idx: (B, M) indices of query points into the full row.
+      idx_valid: (B, M) query validity.
+      curve_id, valid: (B, N) full-row curve structure.
+      k: neighbors to keep per query.
+      window: candidate half-window (defaults to k as in the reference).
+
+    Returns:
+      nbr_idx:  (B, M, 2*window+1) candidate indices into the full row.
+      nbr_mask: (B, M, 2*window+1) True for the (up to k) kept neighbors.
+    """
+    if window is None:
+        window = k
+    n = curve_id.shape[1]
+    offs = interleaved_offsets(window)  # (W,)
+    cand = idx[:, :, None] + offs[None, None, :]  # (B, M, W)
+    in_range = (cand >= 0) & (cand < n)
+    cand_safe = jnp.clip(cand, 0, n - 1)
+
+    cid = segments.padded_curve_id(curve_id, valid)
+    cid_q = gather_rows(cid, idx)  # (B, M)
+    cid_c = jax.vmap(lambda c, i: c[i])(cid, cand_safe)  # (B, M, W)
+    mask = in_range & (cid_q[:, :, None] == cid_c) & idx_valid[:, :, None]
+
+    # keep only the first k valid in near-to-far order (point_ops.py:133)
+    keep = jnp.cumsum(mask.astype(jnp.int32), axis=-1) <= k
+    mask = mask & keep
+    return jnp.where(mask, cand_safe, -1), mask
+
+
+def radius_1d_group_subset(pos: jax.Array, idx: jax.Array,
+                           idx_valid: jax.Array, curve_id: jax.Array,
+                           valid: jax.Array, radius: float, window: int):
+    """Geodesic *radius* grouping along the curve (point_ops.py:143-193).
+
+    The reference estimates each curve's average edge length, converts the
+    radius into a per-curve neighbor count, then windows. Here the candidate
+    window is a static ``window`` (the reference's dynamic max-K becomes a
+    config budget); the per-curve count cap is applied identically.
+    """
+    n = curve_id.shape[1]
+    elens = segments.edge_lengths(pos, curve_id, valid)
+    total_len = segments.per_curve_total(elens, curve_id, valid)  # (B, N)
+    npts = segments.points_per_curve(curve_id, valid)  # (B, N)
+    avg_edge = total_len / jnp.maximum(npts, 1.0)
+    per_pt_k = jnp.ceil(radius / jnp.maximum(avg_edge, 1e-12))
+    # single-point curves: avg edge 0 -> inf -> 1 (point_ops.py:162)
+    per_pt_k = jnp.where(avg_edge <= 1e-12, 1.0, per_pt_k)
+
+    offs = interleaved_offsets(window)
+    cand = idx[:, :, None] + offs[None, None, :]
+    in_range = (cand >= 0) & (cand < n)
+    cand_safe = jnp.clip(cand, 0, n - 1)
+
+    cid = segments.padded_curve_id(curve_id, valid)
+    cid_q = gather_rows(cid, idx)
+    cid_c = jax.vmap(lambda c, i: c[i])(cid, cand_safe)
+    mask = in_range & (cid_q[:, :, None] == cid_c) & idx_valid[:, :, None]
+
+    k_q = gather_rows(per_pt_k, idx)  # (B, M) per-query neighbor budget
+    keep = jnp.cumsum(mask.astype(jnp.float32), axis=-1) <= k_q[:, :, None]
+    mask = mask & keep
+    return jnp.where(mask, cand_safe, -1), mask
+
+
+def knn_1d_group_superset(pos: jax.Array, kept_idx: jax.Array,
+                          kept_valid: jax.Array, curve_id: jax.Array,
+                          valid: jax.Array, k: int):
+    """For every full-res point, its k geodesically-nearest *kept* points.
+
+    Parallel of reference ``knn_1d_group_superset`` (point_ops.py:196-260):
+    a cumsum assignment maps each point to the sequentially-next kept slot,
+    a ±(k+1) window of kept slots is gathered, same-curve filtered, sorted by
+    Euclidean distance, and truncated to k.
+
+    Returns:
+      nbr: (B, N, k) indices into the *kept* array (slots), -1 padded.
+      mask: (B, N, k) validity.
+    """
+    b, n = curve_id.shape
+    m = kept_idx.shape[1]
+
+    # selection mask over the full row, then inclusive-cumsum assignment
+    sel = jnp.zeros((b, n), jnp.int32)
+    sel = jax.vmap(
+        lambda s, i, v: s.at[i].add(v.astype(jnp.int32))
+    )(sel, kept_idx, kept_valid)
+    assign = jnp.cumsum(sel, axis=-1)  # (B, N): next kept slot (ref :201-204)
+
+    offs = interleaved_offsets(k + 1)  # 2k+3 candidates (ref :207-208)
+    cand = assign[:, :, None] + offs[None, None, :]  # slots into kept array
+    in_range = (cand >= 0) & (cand < m)
+    cand_safe = jnp.clip(cand, 0, m - 1)
+
+    kept_valid_c = jax.vmap(lambda kv, c: kv[c])(kept_valid, cand_safe)
+    cid = segments.padded_curve_id(curve_id, valid)
+    kept_cid = gather_rows(cid, kept_idx)  # (B, M)
+    cid_c = jax.vmap(lambda kc, c: kc[c])(kept_cid, cand_safe)
+    mask = in_range & kept_valid_c & (cid[:, :, None] == cid_c) & valid[:, :, None]
+
+    # Euclidean re-sort near-to-far (ref :230-235)
+    kept_pos = gather_rows(pos, kept_idx)  # (B, M, 3)
+    cand_pos = jax.vmap(lambda kp, c: kp[c])(kept_pos, cand_safe)
+    dist = jnp.linalg.norm(cand_pos - pos[:, :, None, :], axis=-1)
+    dist = jnp.where(mask, dist, _FAR)
+    order = jnp.argsort(dist, axis=-1)
+    cand_sorted = jnp.take_along_axis(cand_safe, order, axis=-1)
+    mask_sorted = jnp.take_along_axis(mask, order, axis=-1)
+
+    keep = jnp.cumsum(mask_sorted.astype(jnp.int32), axis=-1) <= k
+    mask_sorted = mask_sorted & keep
+    # sorted ascending by distance with invalid at _FAR, so the <=k kept
+    # neighbors always occupy the first k slots
+    nbr = jnp.where(mask_sorted, cand_sorted, -1)[..., :k]
+    return nbr, mask_sorted[..., :k]
+
+
+def feature_diffs(x: jax.Array, curve_id: jax.Array,
+                  valid: jax.Array) -> jax.Array:
+    """Per-point |mean of adjacent along-curve feature derivatives|.
+
+    Parallel of reference ``compute_feature_diffs`` (fast_conv1d.py:190-205).
+    """
+    fwd_ok = same_curve_shift_mask(curve_id, valid, 1)  # edge i -> i+1 exists
+    bwd_ok = same_curve_shift_mask(curve_id, valid, -1)
+    fwd = (shift_fill(x, 1) - x) * fwd_ok[..., None]
+    bwd = (x - shift_fill(x, -1)) * bwd_ok[..., None]
+    denom = jnp.clip(
+        fwd_ok.astype(x.dtype) + bwd_ok.astype(x.dtype), min=1.0
+    )
+    return jnp.abs((fwd + bwd) / denom[..., None])
+
+
+def symmetric_window_concat(x: jax.Array, curve_id: jax.Array,
+                            valid: jax.Array, half_k: int) -> jax.Array:
+    """Build [x_0, x_{-1}+x_{+1}, ..., x_{-h}+x_{+h}] along the feature axis.
+
+    One (B, N, (h+1)*C) tensor such that a single dense matmul with stacked
+    half-kernel weights reproduces the reference's symmetric curve conv
+    (SymmetricConv1d with reflected taps, fast_conv1d.py:173-184, over a
+    zero-stuffed sequence). Taps crossing curve boundaries contribute zero,
+    exactly like the reference's inter-curve zero padding.
+    """
+    parts = [x * valid[..., None].astype(x.dtype)]
+    for d in range(1, half_k + 1):
+        m_plus = same_curve_shift_mask(curve_id, valid, d)[..., None]
+        m_minus = same_curve_shift_mask(curve_id, valid, -d)[..., None]
+        s = shift_fill(x, d) * m_plus.astype(x.dtype) + \
+            shift_fill(x, -d) * m_minus.astype(x.dtype)
+        parts.append(s)
+    return jnp.concatenate(parts, axis=-1)

@@ -1,0 +1,59 @@
+"""k-NN inverse-distance-squared feature interpolation (PointNet++ FP).
+
+TPU-native replacement for reference ``knn_interpolate_pytorch3d`` /
+``knn_interpolate_1D_pytorch3d`` (point_ops.py:293-355): scatter_add over COO
+edges becomes a dense gather + masked weighted mean over (B, N, K) neighbor
+tables.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from . import neighbors as nbr_ops
+from .sampling import gather_rows
+
+
+def _weighted_mean(x_nbr, d2, mask):
+    """Inverse-d^2 weighted mean over the K axis with validity mask."""
+    w = 1.0 / jnp.clip(d2, min=1e-16)
+    w = jnp.where(mask, w, 0.0)
+    num = jnp.sum(x_nbr * w[..., None], axis=-2)
+    den = jnp.sum(w, axis=-1, keepdims=True)
+    return num / jnp.clip(den, min=1e-16)
+
+
+def knn_interpolate(x: jax.Array, pos_src: jax.Array, src_valid: jax.Array,
+                    pos_dst: jax.Array, dst_valid: jax.Array,
+                    k: int = 3) -> jax.Array:
+    """Interpolate features from src points onto dst points (3-NN inv-d^2).
+
+    x: (B, M, C) features at src; returns (B, N, C) at dst.
+    """
+    idx, dist = nbr_ops.knn(pos_dst, pos_src, dst_valid, src_valid, k)
+    mask = idx >= 0
+    x_nbr = nbr_ops.gather_neighbors(x, idx)  # (B, N, K, C)
+    return _weighted_mean(x_nbr, dist * dist, mask)
+
+
+def knn_interpolate_1d(x_kept: jax.Array, kept_idx: jax.Array,
+                       kept_valid: jax.Array, pos_full: jax.Array,
+                       curve_id: jax.Array, valid: jax.Array,
+                       k: int) -> jax.Array:
+    """Interpolate kept-point features back to full resolution along curves.
+
+    Parallel of reference ``knn_interpolate_1D_pytorch3d`` (point_ops.py:344).
+    x_kept: (B, M, C) features at the kept subset; returns (B, N, C).
+    """
+    from . import curve1d
+
+    nbr, mask = curve1d.knn_1d_group_superset(
+        pos_full, kept_idx, kept_valid, curve_id, valid, k
+    )  # indices into the kept array
+    safe = jnp.maximum(nbr, 0)
+    x_nbr = jax.vmap(lambda xb, ib: xb[ib])(x_kept, safe)  # (B, N, k, C)
+    kept_pos = gather_rows(pos_full, kept_idx)
+    p_nbr = jax.vmap(lambda pb, ib: pb[ib])(kept_pos, safe)
+    d2 = jnp.sum((p_nbr - pos_full[:, :, None, :]) ** 2, axis=-1)
+    return _weighted_mean(x_nbr, d2, mask)

@@ -1,0 +1,140 @@
+"""Dense k-nearest-neighbor / ball-query search for batch-padded point clouds.
+
+TPU-native replacement for the reference's CUDA neighbor stack — pytorch3d
+``knn_points`` / ``ball_query`` and the FRNN grid-hash kernel (reference
+``src/models/utils/point_ops.py:73-111,431-461``). Instead of a grid hash with
+dynamic bucket sizes, distances are computed as blocked matmuls
+(|q|^2 + |p|^2 - 2 q.p rides the MXU) with a streaming top-k merge, so memory
+stays O(B * Q * block) regardless of N.
+
+Outputs are always dense ``(B, Q, K)`` neighbor indices with ``-1`` padding —
+the same dense form the reference's fast paths prefer (dgcnn.py:162-207).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+_INF = jnp.float32(1e30)
+
+
+def _merge_topk(d_a, i_a, d_b, i_b, k):
+    """Merge two (B, Q, *) candidate sets, keep k smallest distances."""
+    d = jnp.concatenate([d_a, d_b], axis=-1)
+    i = jnp.concatenate([i_a, i_b], axis=-1)
+    neg_d, sel = jax.lax.top_k(-d, k)
+    return -neg_d, jnp.take_along_axis(i, sel, axis=-1)
+
+
+def knn(query: jax.Array, points: jax.Array, q_valid: jax.Array,
+        p_valid: jax.Array, k: int, radius: float | None = None,
+        block: int = 4096):
+    """Exact masked kNN: for each valid query, the k nearest valid points.
+
+    Args:
+      query:  (B, Q, 3) query positions.
+      points: (B, N, 3) candidate positions.
+      q_valid, p_valid: validity masks (B, Q) / (B, N).
+      k: number of neighbors (static).
+      radius: if given, neighbors farther than ``radius`` are dropped
+        (ball-query semantics; the reference caps ball queries at K=128,
+        point_ops.py:81 — here K is the explicit budget).
+      block: candidate-block size for the streaming top-k merge.
+
+    Returns:
+      idx:  (B, Q, K) int32 neighbor indices into N, -1 where no neighbor.
+      dist: (B, Q, K) float32 Euclidean distances (INF where idx == -1).
+    """
+    b, q, _ = query.shape
+    n = points.shape[1]
+    k = min(k, n)
+    block = min(block, n)
+    num_blocks = -(-n // block)
+    n_pad = num_blocks * block
+    if n_pad != n:
+        pad = n_pad - n
+        points = jnp.pad(points, ((0, 0), (0, pad), (0, 0)))
+        p_valid = jnp.pad(p_valid, ((0, 0), (0, pad)))
+
+    q_sq = jnp.sum(query * query, axis=-1)  # (B, Q)
+
+    def scan_body(carry, blk):
+        best_d, best_i = carry
+        p_blk, pv_blk, base = blk  # (B, block, 3), (B, block), ()
+        p_sq = jnp.sum(p_blk * p_blk, axis=-1)  # (B, block)
+        # (B, Q, block) squared distances via MXU. precision=highest keeps
+        # full f32 (default truncates to bf16, which misorders near-ties).
+        cross = jnp.einsum(
+            "bqc,bnc->bqn", query, p_blk,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        d2 = q_sq[:, :, None] + p_sq[:, None, :] - 2.0 * cross
+        d2 = jnp.maximum(d2, 0.0)
+        d2 = jnp.where(pv_blk[:, None, :], d2, _INF)
+        idx_blk = base + jnp.arange(block, dtype=jnp.int32)
+        idx_blk = jnp.broadcast_to(idx_blk[None, None, :], d2.shape)
+        best_d, best_i = _merge_topk(best_d, best_i, d2, idx_blk, k)
+        return (best_d, best_i), None
+
+    init_d = jnp.full((b, q, k), _INF)
+    init_i = jnp.full((b, q, k), -1, dtype=jnp.int32)
+    p_blocks = points.reshape(b, num_blocks, block, -1).swapaxes(0, 1)
+    pv_blocks = p_valid.reshape(b, num_blocks, block).swapaxes(0, 1)
+    bases = (jnp.arange(num_blocks) * block).astype(jnp.int32)
+    (best_d2, best_i), _ = jax.lax.scan(
+        scan_body, (init_d, init_i), (p_blocks, pv_blocks, bases)
+    )
+
+    good = best_d2 < _INF
+    if radius is not None:
+        good = good & (best_d2 <= radius * radius)
+    good = good & q_valid[:, :, None]
+    idx = jnp.where(good, best_i, -1)
+    dist = jnp.where(good, jnp.sqrt(best_d2), _INF)
+    return idx, dist
+
+
+def ball_query(query, points, q_valid, p_valid, radius: float, k: int,
+               block: int = 4096):
+    """Radius query returning up to k nearest-in-ball neighbors.
+
+    Note: pytorch3d's ball_query returns the *first* K points inside the ball
+    in index order; returning the K *nearest* (as here) is a strictly
+    better-behaved superset for max/mean/attention aggregation and keeps one
+    code path. Documented deviation.
+    """
+    return knn(query, points, q_valid, p_valid, k, radius=radius, block=block)
+
+
+def add_self_loops(idx: jax.Array, q_valid: jax.Array) -> jax.Array:
+    """Prepend each query's own index as neighbor 0 (reference dgcnn.py:166-168).
+
+    Assumes query set == point set (self index = query position in row).
+    """
+    b, q, _ = idx.shape
+    self_idx = jnp.broadcast_to(
+        jnp.arange(q, dtype=idx.dtype)[None, :, None], (b, q, 1)
+    )
+    self_idx = jnp.where(q_valid[:, :, None], self_idx, -1)
+    return jnp.concatenate([self_idx, idx], axis=-1)
+
+
+def gather_neighbors(x: jax.Array, idx: jax.Array) -> jax.Array:
+    """Gather features for dense neighbor indices.
+
+    x: (B, N, C); idx: (B, Q, K) with -1 padding -> (B, Q, K, C) with zeros
+    at padded slots (the FRNN ``frnn_gather`` equivalent, dgcnn.py:172).
+    """
+    safe = jnp.maximum(idx, 0)
+    out = jax.vmap(lambda xb, ib: xb[ib])(x, safe)
+    return jnp.where((idx >= 0)[..., None], out, 0.0)
+
+
+def knn_feature_space(x: jax.Array, valid: jax.Array, k: int,
+                      block: int = 4096):
+    """kNN in feature space (DGCNN dynamic graph, reference dgcnn.py:82)."""
+    return knn(x, x, valid, valid, k, block=block)

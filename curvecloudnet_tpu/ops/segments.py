@@ -1,0 +1,184 @@
+"""Segmented (per-curve) scan primitives over batch-padded curve clouds.
+
+TPU-native replacement for the reference's CSR-pointer curve utilities
+(``curveidx_local2global`` / ``batch2ptr`` at reference
+``src/models/utils/point_ops.py:20-54``). Instead of flattened COO tensors with
+dynamic pointer arrays, every sample is a fixed-shape row ``(N,)`` with a
+``valid`` mask and a nondecreasing ``curve_id``; curve structure is expressed
+through *segmented associative scans*, which XLA compiles to fast parallel
+scans with no dynamic shapes.
+
+Layout contract (shared by every op in this package):
+  * ``pos``      : (B, N, 3) float — points in scan order, padded at the tail.
+  * ``feat``     : (B, N, F) float or None.
+  * ``valid``    : (B, N) bool — True for real points. Valid points are a
+                   prefix of each row (packing invariant).
+  * ``curve_id`` : (B, N) int32 — nondecreasing over the valid prefix; points
+                   of one curve are contiguous and in scan order (the same
+                   invariant the reference asserts at point_ops.py:49).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+# Sentinel curve id assigned to padding. Never equal to a real curve id.
+PAD_CURVE_ID = jnp.int32(2**30)
+
+
+def padded_curve_id(curve_id: jax.Array, valid: jax.Array) -> jax.Array:
+    """curve_id with padding positions replaced by the PAD_CURVE_ID sentinel."""
+    return jnp.where(valid, curve_id, PAD_CURVE_ID)
+
+
+def curve_starts(curve_id: jax.Array, valid: jax.Array) -> jax.Array:
+    """Boolean (B, N) mask: True at the first point of every curve.
+
+    Padding positions are each treated as their own (degenerate) segment so
+    scans never leak values from the last real curve into padding.
+    """
+    cid = padded_curve_id(curve_id, valid)
+    prev = jnp.roll(cid, 1, axis=-1)
+    starts = cid != prev
+    # position 0 always starts a segment
+    starts = starts.at[..., 0].set(True)
+    # every padding slot is its own segment
+    return starts | ~valid
+
+
+def curve_ends(curve_id: jax.Array, valid: jax.Array) -> jax.Array:
+    """Boolean (B, N) mask: True at the last point of every curve."""
+    starts = curve_starts(curve_id, valid)
+    nxt = jnp.roll(starts, -1, axis=-1)
+    return nxt.at[..., -1].set(True)
+
+
+def _seg_combine(op):
+    def combine(a, b):
+        a_flag, a_val = a
+        b_flag, b_val = b
+        val = jnp.where(
+            _bcast(b_flag, b_val), b_val, op(a_val, b_val)
+        )
+        return a_flag | b_flag, val
+
+    return combine
+
+
+def _bcast(flag, val):
+    """Broadcast a (B, N) flag against a (B, N, ...) value."""
+    extra = val.ndim - flag.ndim
+    return flag.reshape(flag.shape + (1,) * extra)
+
+
+def segmented_scan(x: jax.Array, starts: jax.Array, op=jnp.add,
+                   reverse: bool = False) -> jax.Array:
+    """Inclusive segmented scan of ``x`` along axis 1, restarting at ``starts``.
+
+    ``op`` must be associative (add, maximum, minimum). With ``reverse=True``
+    the scan runs right-to-left and ``starts`` is interpreted as segment *ends*
+    (i.e. pass ``curve_ends`` flags).
+    """
+    flags = starts
+    scanned_flags, scanned_vals = jax.lax.associative_scan(
+        _seg_combine(op), (flags, x), axis=1, reverse=reverse
+    )
+    del scanned_flags
+    return scanned_vals
+
+
+def segmented_cumsum(x: jax.Array, starts: jax.Array,
+                     reverse: bool = False) -> jax.Array:
+    return segmented_scan(x, starts, op=jnp.add, reverse=reverse)
+
+
+def segmented_cummax(x: jax.Array, starts: jax.Array,
+                     reverse: bool = False) -> jax.Array:
+    return segmented_scan(x, starts, op=jnp.maximum, reverse=reverse)
+
+
+def segment_broadcast_first(x: jax.Array, starts: jax.Array) -> jax.Array:
+    """Per point, the value of ``x`` at the start of its segment."""
+    keep_first = lambda a, b: a  # noqa: E731 - copy-scan carries first value
+    return segmented_scan(x, starts, op=keep_first)
+
+
+def segment_broadcast_last(x: jax.Array, ends: jax.Array) -> jax.Array:
+    """Per point, the value of ``x`` at the end of its segment."""
+    # In a reverse scan the accumulator argument carries the suffix (elements
+    # with higher index), so "keep accumulator" propagates the segment-end
+    # value leftwards.
+    keep_acc = lambda a, b: a  # noqa: E731
+    return segmented_scan(x, ends, op=keep_acc, reverse=True)
+
+
+def curve_start_index(curve_id: jax.Array, valid: jax.Array) -> jax.Array:
+    """(B, N) int32 — index (along N) of the first point of each point's curve."""
+    n = curve_id.shape[-1]
+    iota = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), curve_id.shape)
+    starts = curve_starts(curve_id, valid)
+    return segment_broadcast_first(iota, starts)
+
+
+def edge_lengths(pos: jax.Array, curve_id: jax.Array,
+                 valid: jax.Array) -> jax.Array:
+    """(B, N) — length of the polyline edge *ending* at each point.
+
+    Edge i connects point i-1 to point i. Edges that cross a curve boundary
+    (or touch padding) have length 0, mirroring the reference's edge-validity
+    masking (fps_ops.py:19-21).
+    """
+    prev = jnp.roll(pos, 1, axis=1)
+    lens = jnp.linalg.norm(pos - prev, axis=-1)
+    starts = curve_starts(curve_id, valid)
+    lens = jnp.where(starts, 0.0, lens)
+    return lens.at[:, 0].set(0.0)
+
+
+def geodesic_arclength(pos: jax.Array, curve_id: jax.Array,
+                       valid: jax.Array) -> jax.Array:
+    """(B, N) — cumulative arclength from the start of each point's curve.
+
+    Parallel of the reference's geodesic-length computation (fps_ops.py:24-27)
+    done as one segmented cumsum instead of pointer gathers.
+    """
+    lens = edge_lengths(pos, curve_id, valid)
+    starts = curve_starts(curve_id, valid)
+    return segmented_cumsum(lens, starts)
+
+
+def per_curve_total(x: jax.Array, curve_id: jax.Array,
+                    valid: jax.Array) -> jax.Array:
+    """(B, N) — per point, the sum of ``x`` over that point's whole curve."""
+    starts = curve_starts(curve_id, valid)
+    ends = curve_ends(curve_id, valid)
+    csum = segmented_cumsum(x, starts)
+    return segment_broadcast_last(csum, ends)
+
+
+def points_per_curve(curve_id: jax.Array, valid: jax.Array) -> jax.Array:
+    """(B, N) — per point, the number of valid points on its curve."""
+    ones = valid.astype(jnp.float32)
+    return per_curve_total(ones, curve_id, valid)
+
+
+def lengths_from_valid(valid: jax.Array) -> jax.Array:
+    """(B,) number of valid points per sample (packing invariant assumed)."""
+    return valid.sum(axis=-1).astype(jnp.int32)
+
+
+def valid_from_lengths(lengths: jax.Array, n: int) -> jax.Array:
+    """(B, N) prefix validity mask from per-sample lengths."""
+    iota = jnp.arange(n, dtype=lengths.dtype)
+    return iota[None, :] < lengths[:, None]
+
+
+def masked_segment_sum(data: jax.Array, segment_ids: jax.Array,
+                       num_segments: int, mask: jax.Array) -> jax.Array:
+    """segment_sum with a validity mask (invalid rows contribute zero)."""
+    data = jnp.where(_bcast(mask, data), data, 0)
+    sid = jnp.where(mask, segment_ids, num_segments)  # park invalid in overflow
+    return jax.ops.segment_sum(data, sid, num_segments=num_segments + 1)[:num_segments]

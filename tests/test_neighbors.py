@@ -1,0 +1,74 @@
+import numpy as np
+import jax.numpy as jnp
+
+from curvecloudnet_tpu.ops import neighbors
+from conftest import make_curve_cloud
+
+
+def np_knn(query, points, q_valid, p_valid, k, radius=None):
+    b, q, _ = query.shape
+    idx = np.full((b, q, k), -1, np.int64)
+    for bi in range(b):
+        for qi in range(q):
+            if not q_valid[bi, qi]:
+                continue
+            d = np.linalg.norm(points[bi] - query[bi, qi], axis=-1)
+            d[~p_valid[bi]] = np.inf
+            if radius is not None:
+                d[d > radius] = np.inf
+            order = np.argsort(d, kind="stable")[:k]
+            keep = d[order] < np.inf
+            idx[bi, qi, : keep.sum()] = order[keep]
+    return idx
+
+
+def test_knn_exact(rng):
+    pos, feat, curve_id, valid = make_curve_cloud(rng, b=2, n=48)
+    q = pos[:, :16]
+    qv = valid[:, :16]
+    idx, dist = neighbors.knn(jnp.array(q), jnp.array(pos), jnp.array(qv),
+                              jnp.array(valid), k=4, block=16)
+    oracle = np_knn(q, pos, qv, valid, 4)
+    got = np.asarray(idx)
+    # compare distance multisets (ties may reorder indices)
+    for bi in range(2):
+        for qi in range(16):
+            if not qv[bi, qi]:
+                assert (got[bi, qi] == -1).all()
+                continue
+            d_got = sorted(np.linalg.norm(pos[bi, got[bi, qi]] - q[bi, qi], axis=-1))
+            d_or = sorted(np.linalg.norm(pos[bi, oracle[bi, qi]] - q[bi, qi], axis=-1))
+            np.testing.assert_allclose(d_got, d_or, rtol=1e-4, atol=1e-5)
+
+
+def test_ball_query_radius_mask(rng):
+    pos, feat, curve_id, valid = make_curve_cloud(rng, b=2, n=48)
+    idx, dist = neighbors.ball_query(
+        jnp.array(pos), jnp.array(pos), jnp.array(valid), jnp.array(valid),
+        radius=0.3, k=8, block=16)
+    idx, dist = np.asarray(idx), np.asarray(dist)
+    m = idx >= 0
+    assert (dist[m] <= 0.3 + 1e-5).all()
+    # all returned neighbors valid
+    for bi in range(2):
+        sel = idx[bi][m[bi]]
+        assert valid[bi][sel].all()
+
+
+def test_gather_and_self_loops(rng):
+    pos, feat, curve_id, valid = make_curve_cloud(rng, b=2, n=32)
+    idx, _ = neighbors.knn(jnp.array(pos), jnp.array(pos), jnp.array(valid),
+                           jnp.array(valid), k=3, block=8)
+    idx2 = neighbors.add_self_loops(idx, jnp.array(valid))
+    assert idx2.shape == (2, 32, 4)
+    got = np.asarray(idx2)
+    for bi in range(2):
+        for qi in range(32):
+            if valid[bi, qi]:
+                assert got[bi, qi, 0] == qi
+    g = neighbors.gather_neighbors(jnp.array(feat), idx2)
+    g = np.asarray(g)
+    for bi in range(2):
+        for qi in range(32):
+            if valid[bi, qi]:
+                np.testing.assert_allclose(g[bi, qi, 0], feat[bi, qi], rtol=1e-6)
