@@ -1,0 +1,136 @@
+"""Model assembly: the step-DSL interpreter (reference ``src/models/base.py``).
+
+``CurveCloudNet`` interprets a :class:`ModelSpec` — a config-declared sequence
+of steps — threading a batch-padded Cloud through each step and maintaining
+the same two skip-connection stacks as the reference:
+
+  * *downsampled* skips: every ``sa``/``sa-geo``/``sa-global`` step pushes its
+    **input** cloud; ``fp``/``fp-geo`` pop and upsample back to it
+    (reference base.py:199-203 — note ``state['x'][step_idx]`` is the input
+    to step ``step_idx`` because histories are offset by the initial entry).
+  * *proportional* skips: every step whose name is in
+    ``skip_connect_state_store`` pushes its input features; ``skip-connect``
+    pops ``num_skips`` of them (base.py:205-209).
+
+All control flow is Python at trace time — the interpreted program is one
+static XLA computation.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .cloud import Cloud
+from .layers import MLP
+from .modules import (
+    CurveFPStep,
+    CurveSAStep,
+    EdgeConvStep,
+    FPStep,
+    GlobalSAStep,
+    SAStep,
+    SharedMLPStep,
+    SkipConnectStep,
+    SymmetricCurveConvStep,
+)
+from .spec import ModelSpec
+
+
+class CurveCloudNet(nn.Module):
+    """The full network: steps + final MLP head (+ category embedding)."""
+
+    spec: ModelSpec
+    n_points: int  # padded full-resolution row size (static)
+
+    @nn.compact
+    def __call__(self, cloud: Cloud, categories: Optional[jax.Array] = None,
+                 *, train: bool = False, bn_momentum: float = 0.1,
+                 key: Optional[jax.Array] = None) -> jax.Array:
+        spec = self.spec
+        full_valid = cloud.valid
+
+        # trace-time histories, mirroring the reference state dict
+        input_clouds = []          # input cloud of each step (index = step)
+        down_skips = []            # step indices pushed by downsampling steps
+        prop_skips = []            # step indices pushed for skip-connect
+        n_now = self.n_points      # current static row size
+
+        for i, step in enumerate(spec.steps):
+            dims = spec.input_dim(i)
+            input_clouds.append(cloud)
+            step_key = None
+            if key is not None:
+                step_key = jax.random.fold_in(key, i)
+            kw = dict(train=train, bn_momentum=bn_momentum, key=step_key)
+            name = f"step_{i}_{step.name}"
+
+            if step.name == "sa":
+                budget = step.out_budget(n_now)
+                cloud = SAStep(spec, step, dims, budget, name=name)(cloud, **kw)
+                n_now = budget
+            elif step.name == "sa-geo":
+                budget = step.out_budget(n_now)
+                cloud = CurveSAStep(spec, step, dims, budget, name=name)(
+                    cloud, **kw)
+                n_now = budget
+            elif step.name == "sa-global":
+                cloud = GlobalSAStep(spec, step, dims, name=name)(cloud, **kw)
+                n_now = 1
+            elif step.name in ("fp", "fp-geo"):
+                skip_idx = down_skips.pop()
+                skip = input_clouds[skip_idx]
+                cls = FPStep if step.name == "fp" else CurveFPStep
+                cloud = cls(spec, step, dims, name=name)(cloud, skip, **kw)
+                n_now = skip.n
+            elif step.name == "skip-connect":
+                k = step.num_skips or 1
+                take, prop_skips = prop_skips[-k:], prop_skips[:-k]
+                skips = [
+                    input_clouds[j].x if input_clouds[j].x is not None
+                    else input_clouds[j].pos
+                    for j in take
+                ]
+                cloud = SkipConnectStep(spec, step, dims, name=name)(
+                    cloud, skips, **kw)
+            elif step.name in ("dgcnn", "dgcnn-rad", "sgcnn"):
+                cloud = EdgeConvStep(spec, step, dims, name=name)(cloud, **kw)
+            elif step.name in ("conv1d-fast-v1", "conv1d-fast-v2"):
+                cloud = SymmetricCurveConvStep(
+                    spec, step, dims, v1=step.name.endswith("v1"), name=name)(
+                    cloud, **kw)
+            elif step.name == "mlp":
+                cloud = SharedMLPStep(spec, step, dims, name=name)(cloud, **kw)
+            else:
+                raise NotImplementedError(step.name)
+
+            if step.name in ("sa", "sa-geo", "sa-global"):
+                down_skips.append(i)
+            if step.name in spec.skip_connect_state_store:
+                prop_skips.append(i)
+
+        x = cloud.x
+
+        # ShapeNet-seg per-point category embedding (reference base.py:149-153)
+        if spec.with_seg_category and categories is not None:
+            cats = jax.nn.one_hot(categories, spec.n_categories)  # (B, 16)
+            cats = MLP((spec.n_categories, 64, 64), name="lin_categorical")(
+                cats[:, None, :], train=train, bn_momentum=bn_momentum)
+            cats = jnp.broadcast_to(cats, (x.shape[0], x.shape[1], 64))
+            x = jnp.concatenate([x, cats], axis=-1)
+
+        if not spec.identity_head:
+            head_in = spec.steps[-1].feat_dims[-1] + (
+                64 if spec.with_seg_category else 0)
+            head_dims = (head_in,) + spec.out_mlp_dims + (spec.n_out,)
+            x = MLP(head_dims, dropout=spec.out_mlp_dropout,
+                    use_bias=spec.use_bias, name="mlp")(
+                x, mask=cloud.valid, train=train, bn_momentum=bn_momentum)
+        return x, cloud.valid
+
+    @staticmethod
+    def final_valid(cloud: Cloud) -> jax.Array:
+        return cloud.valid

@@ -1,0 +1,362 @@
+"""NN step modules — the operator zoo (SURVEY.md §2.4), TPU-native.
+
+Every module maps a batch-padded :class:`~curvecloudnet_tpu.models.cloud.Cloud`
+to a new Cloud.  Redesigns vs. the reference (``src/models/modules/``):
+
+  * Grouping convs consume dense ``(B, Q, K)`` neighbor tables from the
+    blocked-matmul kNN (ops/neighbors.py) instead of CUDA FRNN + COO scatter;
+    aggregation is a masked reduction over the static K axis (ops/aggregate.py)
+    with the reference's exact mask-fill constants.
+  * Downsampling emits fixed-budget rows + validity instead of shrinking
+    tensors (see models/spec.py).
+  * The symmetric curve 1D convolution (reference fast_conv1d.py) becomes a
+    windowed same-curve gather + one dense matmul per layer — no zero-stuffed
+    sequence materialization, and the matmul rides the MXU.
+  * BatchNorm is validity-masked (padding never pollutes moments).  For the
+    reference's V2 conv this is a deliberate (tiny) deviation: it normalizes
+    over its inter-curve zero padding too (fast_conv1d.py:71-74).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops import aggregate, curve1d, interpolate, neighbors, sampling, segments
+from .cloud import Cloud
+from .layers import MLP, MaskedBatchNorm, leaky_relu
+from .spec import ModelSpec, StepSpec
+
+
+class StepCtx(nn.Module):
+    """Mixin carrying shared step context."""
+
+
+def _attend_dims(spec: ModelSpec, step: StepSpec, d: int) -> Tuple[int, ...]:
+    """Attention-MLP widths (reference base.py:89-92,106-108,113-115)."""
+    if step.name == "sa" and spec.version == 2.0:
+        return (d, d // 2, d)
+    return (d, d, d)
+
+
+def _maybe_attend_mlp(spec: ModelSpec, step: StepSpec, d: int,
+                      name: str = "attend_nn") -> Optional[MLP]:
+    if step.aggr_type in ("attend", "weighted-sum"):
+        return MLP(_attend_dims(spec, step, d), act="leaky_relu",
+                   use_bias=spec.use_bias, name=name)
+    return None
+
+
+def _group_conv(local_nn: MLP, attend_nn: Optional[MLP], step: StepSpec,
+                x_src: Optional[jax.Array], pos_src: jax.Array,
+                pos_dst: jax.Array, nbr_idx: jax.Array, nbr_mask: jax.Array,
+                train: bool, bn_momentum) -> jax.Array:
+    """PointNetConv2 message+aggregate (reference point_conv.py:60-93).
+
+    msg = [x_j, (pos_j - pos_i)/r?] -> local_nn -> masked aggregation.
+    """
+    rel = neighbors.gather_neighbors(pos_src, nbr_idx) - pos_dst[:, :, None, :]
+    if step.normalize_radius and step.radius:
+        rel = rel / step.radius
+    if x_src is not None:
+        xj = neighbors.gather_neighbors(x_src, nbr_idx)
+        msg = jnp.concatenate([xj, rel], axis=-1)
+    else:
+        msg = rel
+    msg = local_nn(msg, mask=nbr_mask, train=train, bn_momentum=bn_momentum)
+    logits = None
+    if attend_nn is not None:
+        logits = attend_nn(msg, mask=nbr_mask, train=train,
+                           bn_momentum=bn_momentum)
+    return aggregate.aggregate(msg, nbr_mask, step.aggr_type, logits)
+
+
+def _downsample(step: StepSpec, cloud: Cloud, budget: int, key):
+    """Dispatch on downsample_type (reference pointnet2.py:47-61)."""
+    if step.name == "sa-geo":
+        use_curve = step.use_curve_fps
+    else:
+        use_curve = step.downsample_type == "curve-fps"
+    if use_curve or (step.name == "sa" and step.downsample_type == "curve-fps"):
+        return sampling.curve_fps(cloud.pos, cloud.curve_id, cloud.valid,
+                                  step.curve_fps_arclen, budget, key=key)
+    if step.name == "sa" and step.downsample_type == "voxel":
+        return sampling.voxel_downsample(cloud.pos, cloud.valid,
+                                         step.voxel_size, budget, key=key)
+    if step.name == "sa" and step.downsample_type == "random":
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        return sampling.random_downsample(key, cloud.valid, step.ratio,
+                                          budget=budget)
+    return sampling.fps(cloud.pos, cloud.valid, step.ratio, key=key,
+                        budget=budget)
+
+
+class SAStep(nn.Module):
+    """PointNet++ set abstraction (reference pointnet2.py:33-78)."""
+
+    spec: ModelSpec
+    step: StepSpec
+    dims: Tuple[int, ...]
+    budget: int
+
+    @nn.compact
+    def __call__(self, cloud: Cloud, *, train=False, bn_momentum=0.1,
+                 key=None) -> Cloud:
+        step = self.step
+        idx, idx_valid = _downsample(step, cloud, self.budget, key)
+        down = cloud.gather(idx, idx_valid)
+        if step.use_fast_knn:
+            radius = step.radius if step.radius is not None else 0.25
+            nbr_idx, _ = neighbors.knn(down.pos, cloud.pos, down.valid,
+                                       cloud.valid, step.knn, radius=radius)
+        elif step.knn is not None:
+            nbr_idx, _ = neighbors.knn(down.pos, cloud.pos, down.valid,
+                                       cloud.valid, step.knn)
+        else:  # pure ball grouping, reference caps K at 128
+            nbr_idx, _ = neighbors.ball_query(down.pos, cloud.pos, down.valid,
+                                              cloud.valid, step.radius, 128)
+        nbr_mask = nbr_idx >= 0
+        local_nn = MLP(self.dims, use_bias=self.spec.use_bias, name="nn")
+        attend_nn = _maybe_attend_mlp(self.spec, step, self.dims[-1])
+        x = _group_conv(local_nn, attend_nn, step, cloud.x, cloud.pos,
+                        down.pos, nbr_idx, nbr_mask, train, bn_momentum)
+        return down.with_features(x)
+
+
+class CurveSAStep(nn.Module):
+    """Curve set abstraction: arclength FPS + geodesic radius grouping
+    (reference pointnet2.py:146-181)."""
+
+    spec: ModelSpec
+    step: StepSpec
+    dims: Tuple[int, ...]
+    budget: int
+    window: int = 32  # static candidate half-window for the geodesic group
+
+    @nn.compact
+    def __call__(self, cloud: Cloud, *, train=False, bn_momentum=0.1,
+                 key=None) -> Cloud:
+        step = self.step
+        x = cloud.xyz_concat(step.with_xyz)
+        cloud = cloud.with_features(x)
+        idx, idx_valid = _downsample(step, cloud, self.budget, key)
+        down = cloud.gather(idx, idx_valid)
+        nbr_idx, nbr_mask = curve1d.radius_1d_group_subset(
+            cloud.pos, idx, down.valid, cloud.curve_id, cloud.valid,
+            step.radius, self.window)
+        local_nn = MLP(self.dims, act="leaky_relu", use_bias=self.spec.use_bias,
+                       name="nn")
+        attend_nn = _maybe_attend_mlp(self.spec, step, self.dims[-1])
+        xo = _group_conv(local_nn, attend_nn, step, cloud.x, cloud.pos,
+                         down.pos, nbr_idx, nbr_mask, train, bn_momentum)
+        return down.with_features(xo)
+
+
+class GlobalSAStep(nn.Module):
+    """Per-sample global pooling (reference pointnet2.py:81-116)."""
+
+    spec: ModelSpec
+    step: StepSpec
+    dims: Tuple[int, ...]
+
+    @nn.compact
+    def __call__(self, cloud: Cloud, *, train=False, bn_momentum=0.1,
+                 key=None) -> Cloud:
+        xin = jnp.concatenate([cloud.x, cloud.pos], axis=-1)
+        x = MLP(self.dims, use_bias=self.spec.use_bias, name="nn")(
+            xin, mask=cloud.valid, train=train, bn_momentum=bn_momentum)
+        mask = cloud.valid[..., None]
+        if self.step.pooling == "mean":
+            pooled = jnp.sum(jnp.where(mask, x, 0.0), axis=1) / jnp.clip(
+                jnp.sum(mask, axis=1), min=1)
+        else:
+            pooled = jnp.max(jnp.where(mask, x, -1e30), axis=1)
+        pooled = pooled[:, None, :]  # (B, 1, C)
+        return Cloud(
+            pos=cloud.pos[:, :1],
+            valid=jnp.any(cloud.valid, axis=1, keepdims=True),
+            curve_id=cloud.curve_id[:, :1],
+            x=pooled,
+            parent_idx=jnp.zeros((cloud.batch_size, 1), jnp.int32),
+        )
+
+
+class FPStep(nn.Module):
+    """Feature propagation upsample (reference pointnet2.py:119-143)."""
+
+    spec: ModelSpec
+    step: StepSpec
+    dims: Tuple[int, ...]
+
+    @nn.compact
+    def __call__(self, cloud: Cloud, skip: Cloud, *, train=False,
+                 bn_momentum=0.1, key=None) -> Cloud:
+        k = self.step.knn if self.step.knn else 3
+        x = interpolate.knn_interpolate(cloud.x, cloud.pos, cloud.valid,
+                                        skip.pos, skip.valid, k=k)
+        # the interpreter substitutes pos for a None skip-x (base.py:196-197)
+        x_skip = skip.x if skip.x is not None else skip.pos
+        parts = [x, x_skip]
+        if self.step.with_xyz:
+            parts.append(skip.pos)
+        x = jnp.concatenate(parts, axis=-1)
+        x = MLP(self.dims, use_bias=self.spec.use_bias, name="nn")(
+            x, mask=skip.valid, train=train, bn_momentum=bn_momentum)
+        return skip.with_features(x)
+
+
+class CurveFPStep(nn.Module):
+    """Geodesic upsample along curves (reference pointnet2.py:184-205)."""
+
+    spec: ModelSpec
+    step: StepSpec
+    dims: Tuple[int, ...]
+
+    @nn.compact
+    def __call__(self, cloud: Cloud, skip: Cloud, *, train=False,
+                 bn_momentum=0.1, key=None) -> Cloud:
+        k = self.step.knn if self.step.knn else 3
+        # cloud.parent_idx holds this level's indices into the skip row —
+        # the reference's `downsample-idxs` state (base.py:166-168).
+        x = interpolate.knn_interpolate_1d(
+            cloud.x, cloud.parent_idx, cloud.valid, skip.pos, skip.curve_id,
+            skip.valid, k=k)
+        x_skip = skip.x if skip.x is not None else skip.pos
+        parts = [x, x_skip]
+        if self.step.with_xyz:
+            parts.append(skip.pos)
+        x = jnp.concatenate(parts, axis=-1)
+        x = MLP(self.dims, act="leaky_relu", use_bias=self.spec.use_bias,
+                name="nn")(x, mask=skip.valid, train=train,
+                           bn_momentum=bn_momentum)
+        return skip.with_features(x)
+
+
+class EdgeConvStep(nn.Module):
+    """DGCNN (feature-space kNN) / SGCNN (xyz kNN) edge convolution
+    (reference dgcnn.py:98-266).
+
+    ``self.step.name`` selects the graph space; ``use_sparse_feat_agg``
+    selects the reference's slow-path message ordering ``[x_i, x_j - x_i]``
+    (dgcnn.py:227) vs. the fast path's ``[x_j, x_i - x_j]`` (dgcnn.py:173).
+    """
+
+    spec: ModelSpec
+    step: StepSpec
+    dims: Tuple[int, ...]
+
+    @nn.compact
+    def __call__(self, cloud: Cloud, *, train=False, bn_momentum=0.1,
+                 key=None) -> Cloud:
+        step = self.step
+        x = cloud.xyz_concat(step.with_xyz)
+        if step.name == "dgcnn":
+            nbr_idx, _ = neighbors.knn(x, x, cloud.valid, cloud.valid,
+                                       step.knn)
+        elif step.name == "dgcnn-rad":
+            nbr_idx, _ = neighbors.ball_query(cloud.pos, cloud.pos,
+                                              cloud.valid, cloud.valid,
+                                              step.radius, 128)
+        else:  # sgcnn
+            if step.use_sparse_feat_agg:
+                # slow path: exact kNN, no radius cap (dgcnn.py:209-225)
+                nbr_idx, _ = neighbors.knn(cloud.pos, cloud.pos, cloud.valid,
+                                           cloud.valid, step.knn)
+            else:
+                r = step.radius if step.radius is not None else 1.0
+                nbr_idx, _ = neighbors.knn(cloud.pos, cloud.pos, cloud.valid,
+                                           cloud.valid, step.knn, radius=r)
+                nbr_idx = neighbors.add_self_loops(nbr_idx, cloud.valid)
+        nbr_mask = nbr_idx >= 0
+        xj = neighbors.gather_neighbors(x, nbr_idx)
+        xi = x[:, :, None, :]
+        if step.name == "sgcnn" and not step.use_sparse_feat_agg:
+            msg = jnp.concatenate([xj, xi - xj], axis=-1)
+        else:
+            msg = jnp.concatenate(
+                [jnp.broadcast_to(xi, xj.shape), xj - xi], axis=-1)
+        local_nn = MLP(self.dims, use_bias=self.spec.use_bias, name="nn")
+        msg = local_nn(msg, mask=nbr_mask, train=train, bn_momentum=bn_momentum)
+        logits = None
+        if step.aggr_type in ("attend", "weighted-sum"):
+            attend_nn = _maybe_attend_mlp(self.spec, step, self.dims[-1])
+            logits = attend_nn(msg, mask=nbr_mask, train=train,
+                               bn_momentum=bn_momentum)
+        out = aggregate.aggregate(msg, nbr_mask, step.aggr_type, logits)
+        out = out * cloud.valid[..., None]
+        return cloud.with_features(out)
+
+
+class SymmetricCurveConvStep(nn.Module):
+    """Symmetric 1D convolution along curves (reference fast_conv1d.py).
+
+    Learned taps w_0..w_h are mirrored (w_{-d} = w_{+d}); the conv over the
+    zero-stuffed point sequence is expressed as a same-curve windowed sum
+    followed by one dense matmul per layer (curve1d.symmetric_window_concat).
+    ``v1`` recomputes the feature-derivative channel before every layer
+    (fast_conv1d.py:129-143); ``v2`` computes it once (fast_conv1d.py:66-68).
+    """
+
+    spec: ModelSpec
+    step: StepSpec
+    dims: Tuple[int, ...]
+    v1: bool = False
+
+    @nn.compact
+    def __call__(self, cloud: Cloud, *, train=False, bn_momentum=0.1,
+                 key=None) -> Cloud:
+        step = self.step
+        x = cloud.xyz_concat(step.with_xyz)
+        half_k = (step.kernel_size or 5) // 2
+        cid, valid = cloud.curve_id, cloud.valid
+        for i in range(1, len(self.dims)):
+            if step.with_diff and (self.v1 or i == 1):
+                diff = curve1d.feature_diffs(x, cid, valid)
+                x = jnp.concatenate([x, diff], axis=-1)
+            xw = curve1d.symmetric_window_concat(x, cid, valid, half_k)
+            x = nn.Dense(self.dims[i], use_bias=True, name=f"conv_{i-1}")(xw)
+            x = MaskedBatchNorm(name=f"norm_{i-1}")(
+                x, mask=valid, use_running_average=not train,
+                momentum=bn_momentum)
+            x = leaky_relu(x)
+        x = x * valid[..., None]
+        return cloud.with_features(x)
+
+
+class SkipConnectStep(nn.Module):
+    """Concat skip features + MLP (reference skip_connect.py:6-15)."""
+
+    spec: ModelSpec
+    step: StepSpec
+    dims: Tuple[int, ...]
+
+    @nn.compact
+    def __call__(self, cloud: Cloud, skips: Sequence[jax.Array], *,
+                 train=False, bn_momentum=0.1, key=None) -> Cloud:
+        x = jnp.concatenate([cloud.x] + list(skips), axis=-1)
+        x = MLP(self.dims, act="leaky_relu", use_bias=self.spec.use_bias,
+                name="nn")(x, mask=cloud.valid, train=train,
+                           bn_momentum=bn_momentum)
+        return cloud.with_features(x)
+
+
+class SharedMLPStep(nn.Module):
+    """Pointwise MLP with optional xyz concat (reference mlp.py:5-22)."""
+
+    spec: ModelSpec
+    step: StepSpec
+    dims: Tuple[int, ...]
+
+    @nn.compact
+    def __call__(self, cloud: Cloud, *, train=False, bn_momentum=0.1,
+                 key=None) -> Cloud:
+        x = cloud.xyz_concat(self.step.with_xyz)
+        act = self.step.act or "leaky_relu"
+        x = MLP(self.dims, act=act, use_bias=self.spec.use_bias,
+                plain_last=self.step.plain_last, name="mlp")(
+            x, mask=cloud.valid, train=train, bn_momentum=bn_momentum)
+        return cloud.with_features(x)

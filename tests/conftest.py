@@ -5,7 +5,10 @@ Must set the XLA flags before jax is imported anywhere.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Skip the axon TPU-tunnel PJRT registration (sitecustomize registers it
+# whenever PALLAS_AXON_POOL_IPS is set; startup costs ~2min per process).
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
