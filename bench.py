@@ -1,0 +1,84 @@
+#!/usr/bin/env python3
+"""Benchmark harness: nuScenes-scale lidarseg eval throughput on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+The operational target (BASELINE.md) is >=1M points/sec/chip on the flagship
+nuScenes model at full-sweep scale; ``vs_baseline`` is value / 1e6.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    n_points = int(os.environ.get("BENCH_POINTS", 32768))
+    batch = int(os.environ.get("BENCH_BATCH", 1))
+    iters = int(os.environ.get("BENCH_ITERS", 10))
+
+    import jax
+    import jax.numpy as jnp
+
+    from curvecloudnet_tpu.config import load_config
+    from curvecloudnet_tpu.data.synthetic import synthetic_lidar_batch
+    from curvecloudnet_tpu.models import (
+        CurveCloudNet, cloud_from_arrays, parse_model_config,
+    )
+
+    cfg = load_config("configs/nuscenes.yaml")
+    spec = parse_model_config(cfg["model"], in_dim=4, n_out=17)
+    model = CurveCloudNet(spec, n_points=n_points)
+
+    rng = np.random.default_rng(0)
+    pos, feat, curve_id, valid, _ = synthetic_lidar_batch(rng, batch, n_points)
+    cloud = cloud_from_arrays(jnp.asarray(pos), jnp.asarray(curve_id),
+                              jnp.asarray(valid), jnp.asarray(feat))
+
+    key = jax.random.PRNGKey(0)
+    t0 = time.time()
+    variables = jax.jit(
+        lambda c: model.init({"params": key, "dropout": key}, c,
+                             train=False, key=key)
+    )(cloud)
+    jax.block_until_ready(variables)
+    init_s = time.time() - t0
+
+    fwd = jax.jit(lambda v, c: model.apply(v, c, train=False,
+                                           key=jax.random.PRNGKey(0))[0])
+    t0 = time.time()
+    out = fwd(variables, cloud)
+    out.block_until_ready()
+    compile_s = time.time() - t0
+
+    times = []
+    for _ in range(iters):
+        t0 = time.time()
+        out = fwd(variables, cloud)
+        out.block_until_ready()
+        times.append(time.time() - t0)
+    mean_t = float(np.mean(sorted(times)[: max(1, iters - 2)]))
+    n_valid = int(np.asarray(valid).sum())
+    pts_per_sec = n_valid / mean_t
+
+    result = {
+        "metric": "points/sec/chip (nuScenes lidarseg eval)",
+        "value": round(pts_per_sec, 1),
+        "unit": "points/sec/chip",
+        "vs_baseline": round(pts_per_sec / 1e6, 4),
+        "detail": {
+            "n_points": n_points,
+            "batch": batch,
+            "mean_forward_s": round(mean_t, 5),
+            "compile_s": round(compile_s, 1),
+            "init_s": round(init_s, 1),
+            "device": str(jax.devices()[0]),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,252 @@
+"""Dataset classes emitting padded curve-cloud samples.
+
+Capability parallel of the reference data layer (``src/data/``, SURVEY.md
+§2.7) with a TPU-first batching contract: every sample is padded to the
+dataset's static ``n_pad`` and batches are fixed-shape numpy arrays, so the
+training step compiles once.
+
+Included sources:
+  * ``SyntheticLidarSeg`` / ``SyntheticObjects`` — procedural data for tests,
+    benches, and smoke training (no downloads in this environment).
+  * ``ObjectPthDataset`` — reads the reference's simulated ShapeNet/Kortx
+    ``.pth`` dumps (a pickled torch_geometric Batch; reference
+    ``object_datasets.py:8-65``) when such a file exists.
+  * Lidar datasets (KITTI/nuScenes/A2D2) live in ``lidar.py``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Dict, Iterator, Optional
+
+import numpy as np
+
+from . import synthetic
+
+
+@dataclasses.dataclass
+class Sample:
+    pos: np.ndarray            # (N, 3)
+    curve_id: np.ndarray       # (N,)
+    feat: Optional[np.ndarray]  # (N, F) or None
+    labels: np.ndarray         # (N,) seg labels or scalar class
+    category: int = 0          # object category (ShapeNet)
+
+
+class CurveDataset:
+    """Base: fixed padded size, task metadata, indexable samples."""
+
+    n_pad: int
+    in_dim: int
+    n_classes: int
+    task: str = "segmentation"
+    ignore_index: Optional[int] = 0
+
+    def __len__(self) -> int:
+        raise NotImplementedError
+
+    def get(self, idx: int, rng: Optional[np.random.Generator] = None,
+            augment: bool = False) -> Sample:
+        raise NotImplementedError
+
+
+class SyntheticLidarSeg(CurveDataset):
+    """Procedural rotating-lidar sweeps (nuScenes-like: 17 classes, ignore 0)."""
+
+    def __init__(self, n_samples: int = 64, n_pad: int = 8192,
+                 n_classes: int = 17, n_beams: int = 32, seed: int = 0):
+        self.n_samples = n_samples
+        self.n_pad = n_pad
+        self.in_dim = 4
+        self.n_classes = n_classes
+        self.n_beams = n_beams
+        self.seed = seed
+        self.task = "segmentation"
+        self.ignore_index = 0
+
+    def __len__(self):
+        return self.n_samples
+
+    def get(self, idx, rng=None, augment=False):
+        g = np.random.default_rng(self.seed * 100003 + idx)
+        n = int(g.integers(int(self.n_pad * 0.85), self.n_pad + 1))
+        pos, refl, cid, y = synthetic.synthetic_lidar_sweep(
+            g, n, self.n_beams, self.n_classes)
+        if augment and rng is not None:
+            pos = _lidar_augment(pos, rng)
+        return Sample(pos=pos, curve_id=cid, feat=refl, labels=y)
+
+
+class SyntheticObjects(CurveDataset):
+    """Procedural scanned objects; classification or part segmentation."""
+
+    def __init__(self, n_samples: int = 64, n_pad: int = 2048,
+                 task: str = "classification", n_parts: int = 4,
+                 seed: int = 0):
+        self.n_samples = n_samples
+        self.n_pad = n_pad
+        self.in_dim = 3
+        self.task = task
+        self.n_parts = n_parts
+        self.n_classes = 3 if task == "classification" else n_parts
+        self.ignore_index = None
+        self.seed = seed
+
+    def __len__(self):
+        return self.n_samples
+
+    def get(self, idx, rng=None, augment=False):
+        g = np.random.default_rng(self.seed * 100003 + idx)
+        pos, cid, parts, cat = synthetic.synthetic_object_scan(
+            g, self.n_pad, n_parts=self.n_parts)
+        if augment and rng is not None:
+            pos = _object_augment(pos, rng)
+        labels = (np.int32(cat) if self.task == "classification" else parts)
+        return Sample(pos=pos, curve_id=cid, feat=None, labels=labels,
+                      category=cat)
+
+
+class ObjectPthDataset(CurveDataset):
+    """Reference-format simulated object scans from a ``.pth`` Batch dump.
+
+    The reference stores one torch_geometric ``Batch`` per split with fields
+    x/pos/y/curve_idxs/batch (+``labels`` categories), unit-sphere normalizes
+    each cloud, and (for ShapeNet train) augments with random anisotropic
+    scale + jitter (object_datasets.py:32-36,61-66).
+    """
+
+    def __init__(self, path: str, n_pad: int = 2048,
+                 task: str = "segmentation", n_classes: int = 50,
+                 normalize: bool = True):
+        import torch
+
+        blob = torch.load(path, map_location="cpu", weights_only=False)
+        self._pos = np.asarray(blob.pos, np.float32)
+        self._batch = np.asarray(blob.batch, np.int64)
+        self._curves = np.asarray(blob.curve_idxs, np.int64)
+        self._y = np.asarray(blob.y, np.int64) if hasattr(blob, "y") else None
+        self._cats = (np.asarray(blob.labels, np.int64)
+                      if hasattr(blob, "labels") else None)
+        self._ptr = np.concatenate(
+            [[0], np.cumsum(np.bincount(self._batch))]).astype(np.int64)
+        self.n_pad = n_pad
+        self.in_dim = 3
+        self.task = task
+        self.n_classes = n_classes
+        self.ignore_index = None
+        self.normalize = normalize
+
+    def __len__(self):
+        return len(self._ptr) - 1
+
+    def get(self, idx, rng=None, augment=False):
+        s, e = self._ptr[idx], self._ptr[idx + 1]
+        pos = self._pos[s:e].copy()
+        if self.normalize:  # unit-sphere (object_datasets.py:61-66)
+            pos -= pos.mean(0, keepdims=True)
+            pos /= max(np.linalg.norm(pos, axis=1).max(), 1e-8)
+        if augment and rng is not None:
+            pos = _object_augment(pos, rng)
+        cid = self._curves[s:e]
+        cid = cid - cid.min()
+        cat = int(self._cats[idx]) if self._cats is not None else 0
+        if self.task == "classification":
+            labels = np.int32(cat)
+        else:
+            labels = self._y[s:e].astype(np.int32)
+        return Sample(pos=pos.astype(np.float32), curve_id=cid.astype(np.int32),
+                      feat=None, labels=labels, category=cat)
+
+
+def _object_augment(pos, rng):
+    """ShapeNet train aug: random anisotropic scale + jitter
+    (object_datasets.py:32-36)."""
+    scale = rng.uniform(2.0 / 3.0, 3.0 / 2.0, size=(1, 3)).astype(np.float32)
+    jitter = np.clip(rng.normal(0, 0.01, pos.shape), -0.05,
+                     0.05).astype(np.float32)
+    return pos * scale + jitter
+
+
+def _lidar_augment(pos, rng):
+    """Lidar train aug: rotate-z / flip / scale / translate
+    (kitti_dataset.py:123-152)."""
+    theta = rng.uniform(0, 2 * np.pi)
+    c, s = np.cos(theta), np.sin(theta)
+    rot = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], np.float32)
+    pos = pos @ rot.T
+    if rng.random() < 0.5:
+        pos[:, 0] *= -1
+    if rng.random() < 0.5:
+        pos[:, 1] *= -1
+    pos *= rng.uniform(0.95, 1.05)
+    pos[:, :2] += rng.normal(0, 0.1, size=(1, 2)).astype(np.float32)
+    return pos
+
+
+# ---------------------------------------------------------------------------
+# Padded batching
+# ---------------------------------------------------------------------------
+
+def pad_sample(sample: Sample, n_pad: int) -> Dict[str, np.ndarray]:
+    n = min(len(sample.pos), n_pad)
+    pos = np.zeros((n_pad, 3), np.float32)
+    cid = np.zeros((n_pad,), np.int32)
+    valid = np.zeros((n_pad,), bool)
+    pos[:n] = sample.pos[:n]
+    cid[:n] = sample.curve_id[:n]
+    valid[:n] = True
+    out = dict(pos=pos, curve_id=cid, valid=valid,
+               category=np.int32(sample.category))
+    if sample.feat is not None:
+        f = np.zeros((n_pad, sample.feat.shape[-1]), np.float32)
+        f[:n] = sample.feat[:n]
+        out["feat"] = f
+    if np.ndim(sample.labels) == 0:
+        out["labels"] = np.asarray(sample.labels, np.int32)
+    else:
+        y = np.zeros((n_pad,), np.int32)
+        y[:n] = sample.labels[:n]
+        out["labels"] = y
+    return out
+
+
+def batch_iterator(dataset: CurveDataset, batch_size: int,
+                   shuffle: bool = False, seed: int = 0,
+                   augment: bool = False,
+                   drop_last: bool = True) -> Iterator[Dict[str, np.ndarray]]:
+    """Yield stacked padded batches as numpy dicts (host-side pipeline)."""
+    rng = np.random.default_rng(seed)
+    order = np.arange(len(dataset))
+    if shuffle:
+        rng.shuffle(order)
+    n = len(order)
+    stop = n - batch_size + 1 if drop_last else n
+    for start in range(0, max(stop, 0), batch_size):
+        idxs = order[start:start + batch_size]
+        samples = [pad_sample(dataset.get(int(i), rng=rng, augment=augment),
+                              dataset.n_pad) for i in idxs]
+        yield {
+            k: np.stack([s[k] for s in samples])
+            for k in samples[0]
+        }
+
+
+def to_device_batch(np_batch: Dict[str, np.ndarray], task: str):
+    """numpy dict -> train.Batch pytree."""
+    import jax.numpy as jnp
+
+    from ..models.cloud import cloud_from_arrays
+    from ..train import Batch
+
+    cloud = cloud_from_arrays(
+        jnp.asarray(np_batch["pos"]),
+        jnp.asarray(np_batch["curve_id"]),
+        jnp.asarray(np_batch["valid"]),
+        jnp.asarray(np_batch["feat"]) if "feat" in np_batch else None,
+    )
+    return Batch(
+        cloud=cloud,
+        labels=jnp.asarray(np_batch["labels"]),
+        categories=jnp.asarray(np_batch["category"]),
+    )

@@ -1,0 +1,240 @@
+"""Task registry + evaluation loops (reference ``src/run/*`` + run_utils).
+
+One generic train/eval driver replaces the reference's five near-identical
+per-dataset modules; per-dataset behavior (ignore label, loss weighting,
+TTA protocol, metric cropping) is declared in ``TASKS``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..train import Batch, LossConfig
+from . import globals as G
+from . import metrics as M
+
+
+@dataclasses.dataclass
+class TaskInfo:
+    name: str
+    task: str                      # "segmentation" | "classification"
+    n_out: int
+    loss_cfg: LossConfig
+    class_weights: Optional[np.ndarray] = None
+    class_names: Optional[list] = None
+    # eval protocol
+    tta: bool = False              # 12-view flips x scales (nuscenes/kitti)
+    metric_ignore: Optional[int] = 0
+    part_iou: bool = False         # ShapeNet category-masked part IoU
+
+
+TASKS: Dict[str, TaskInfo] = {
+    "nuscenes": TaskInfo(
+        name="nuscenes", task="segmentation", n_out=17,
+        loss_cfg=LossConfig(task="segmentation", ignore_index=0,
+                            use_lovasz=True, lovasz_weight=1.0),
+        class_names=G.NUSCENES_CLASSES, tta=True, metric_ignore=0),
+    "kitti": TaskInfo(
+        name="kitti", task="segmentation", n_out=20,
+        loss_cfg=LossConfig(task="segmentation", ignore_index=0,
+                            use_lovasz=True, lovasz_weight=2.0,
+                            mean_over_all=True),
+        class_weights=np.concatenate([[0.0], G.KITTI_CLASS_WEIGHTS]),
+        class_names=G.KITTI_CLASSES, tta=True, metric_ignore=0),
+    "audi": TaskInfo(
+        name="audi", task="segmentation", n_out=13,
+        loss_cfg=LossConfig(task="segmentation",
+                            ignore_index=G.AUDI_IGNORE_LABEL,
+                            use_lovasz=True),
+        class_names=G.AUDI_CLASSES, tta=False,
+        metric_ignore=G.AUDI_IGNORE_LABEL),
+    "shapenet-seg": TaskInfo(
+        name="shapenet-seg", task="segmentation",
+        n_out=G.NUM_SHAPENET_SEG_CLASSES,
+        loss_cfg=LossConfig(task="segmentation", ignore_index=None),
+        tta=False, metric_ignore=None, part_iou=True),
+    "kortx": TaskInfo(
+        name="kortx", task="segmentation",
+        n_out=G.NUM_SHAPENET_SEG_CLASSES,
+        loss_cfg=LossConfig(task="segmentation", ignore_index=None),
+        tta=False, metric_ignore=None, part_iou=True),
+    "shapenet-class": TaskInfo(
+        name="shapenet-class", task="classification", n_out=16,
+        loss_cfg=LossConfig(task="classification"),
+        class_names=G.SHAPENET_CATEGORY_NAMES, metric_ignore=None),
+}
+
+
+def task_for(dataset_source: str, task: str) -> TaskInfo:
+    """Reference ``select_task`` (run_utils.py:15-43) equivalent."""
+    if dataset_source in ("shapenet-seg", "shapenet") and task == "classification":
+        return TASKS["shapenet-class"]
+    key = {"shapenet": "shapenet-seg"}.get(dataset_source, dataset_source)
+    if key.startswith("synthetic-lidar"):
+        return TASKS["nuscenes"]
+    if key.startswith("synthetic-object"):
+        return dataclasses.replace(
+            TASKS["shapenet-class"] if task == "classification"
+            else TASKS["shapenet-seg"], part_iou=False)
+    if key not in TASKS:
+        raise KeyError(f"unknown dataset_source {dataset_source!r}")
+    return TASKS[key]
+
+
+# ---------------------------------------------------------------------------
+# TTA forward: 4 axis-flips x 3 xy-scales, averaged logits
+# (reference nuscenes_seg.py:91-115 / kitti_seg.py:88-111)
+# ---------------------------------------------------------------------------
+
+TTA_FLIPS = np.array(
+    [[1, 1], [-1, 1], [1, -1], [-1, -1]], np.float32)  # (4, 2)
+TTA_SCALES = np.array([1.0, 0.95, 1.05], np.float32)
+
+
+def make_tta_eval(model, n_views_full: bool = True):
+    """Jitted fn(variables, cloud, flip (2,), scale ()) -> logits."""
+
+    def fwd(variables, cloud, flip, scale):
+        xy = cloud.pos[..., :2] * flip[None, None, :] * scale
+        pos = jnp.concatenate([xy, cloud.pos[..., 2:]], axis=-1)
+        c = cloud.replace(pos=pos)
+        logits, out_valid = model.apply(variables, c, train=False,
+                                        key=jax.random.PRNGKey(0))
+        return logits, out_valid
+
+    return jax.jit(fwd)
+
+
+def evaluate_segmentation(model, variables, dataset, task_info: TaskInfo,
+                          batch_size: int = 1, max_batches: int | None = None,
+                          use_tta: bool | None = None, log: Callable = print):
+    """Full segmentation eval: (m)IoU + throughput.
+
+    Returns dict(miou, per_class_iou, points_per_sec, mean_forward_s).
+    """
+    from ..data.datasets import batch_iterator, to_device_batch
+
+    use_tta = task_info.tta if use_tta is None else use_tta
+    n_cls = task_info.n_out
+    fwd = make_tta_eval(model)
+    hist = jnp.zeros((n_cls, n_cls), jnp.int32)
+    times, n_pts = [], 0
+    views = ([(f, s) for f in TTA_FLIPS for s in TTA_SCALES]
+             if use_tta else [(TTA_FLIPS[0], TTA_SCALES[0])])
+
+    for bi, np_batch in enumerate(batch_iterator(dataset, batch_size,
+                                                 drop_last=False)):
+        if max_batches is not None and bi >= max_batches:
+            break
+        batch = to_device_batch(np_batch, task_info.task)
+        logits_sum = None
+        for f, s in views:
+            t0 = time.time()
+            logits, out_valid = fwd(variables, batch.cloud,
+                                    jnp.asarray(f), jnp.asarray(s))
+            logits.block_until_ready()
+            times.append(time.time() - t0)
+            logits_sum = logits if logits_sum is None else logits_sum + logits
+        mean_logits = logits_sum / len(views)
+        pred = jnp.argmax(mean_logits, axis=-1)
+        lv = out_valid
+        if task_info.metric_ignore is not None:
+            lv = lv & (batch.labels != task_info.metric_ignore)
+        hist = hist + M.masked_hist(pred, batch.labels, lv, n_cls)
+        n_pts += int(np.asarray(batch.cloud.valid).sum())
+
+    hist = np.asarray(hist)
+    if task_info.metric_ignore is not None:
+        keep = [c for c in range(n_cls) if c != task_info.metric_ignore]
+        hist = hist[np.ix_(keep, keep)]
+        names = ([task_info.class_names[c] for c in keep]
+                 if task_info.class_names else None)
+    else:
+        names = task_info.class_names
+    iou = M.per_class_iu(hist)
+    warm = times[min(5, max(0, len(times) - 1)):]
+    mean_fwd = float(np.mean(warm)) if warm else float("nan")
+    result = {
+        "miou": float(np.nanmean(iou)),
+        "per_class_iou": iou.tolist(),
+        "class_names": names,
+        "mean_forward_s": mean_fwd,
+        "points_per_sec": (n_pts * len(views)) / max(sum(times), 1e-9),
+    }
+    log(f"mIoU: {result['miou']:.4f}  "
+        f"(fwd {mean_fwd*1e3:.1f} ms, {result['points_per_sec']:.0f} pts/s)")
+    return result
+
+
+def evaluate_part_segmentation(model, variables, dataset,
+                               task_info: TaskInfo, batch_size: int = 8,
+                               max_batches: int | None = None,
+                               log: Callable = print):
+    """ShapeNet-style category-masked part IoU (shapenet_seg.py:86-107)."""
+    from ..data.datasets import batch_iterator, to_device_batch
+
+    fwd = make_tta_eval(model)
+    cat_parts = list(G.SHAPENET_SEG_CLASSES.values())
+    per_cat: Dict[int, list] = {}
+    inst_ious = []
+    for bi, np_batch in enumerate(batch_iterator(dataset, batch_size,
+                                                 drop_last=False)):
+        if max_batches is not None and bi >= max_batches:
+            break
+        batch = to_device_batch(np_batch, task_info.task)
+        logits, out_valid = fwd(variables, batch.cloud,
+                                jnp.asarray(TTA_FLIPS[0]),
+                                jnp.asarray(TTA_SCALES[0]))
+        logits = np.asarray(logits)
+        valid = np.asarray(out_valid)
+        labels = np.asarray(batch.labels)
+        cats = np.asarray(batch.categories)
+        for k in range(len(cats)):
+            if task_info.part_iou:
+                parts = np.asarray(cat_parts[int(cats[k])])
+                lg = logits[k][:, parts]
+                pred = parts[np.argmax(lg, axis=-1)]
+            else:
+                parts = np.arange(task_info.n_out)
+                pred = np.argmax(logits[k], axis=-1)
+            iou = M.part_iou_shapenet(pred, labels[k], valid[k], parts)
+            inst_ious.append(iou)
+            per_cat.setdefault(int(cats[k]), []).append(iou)
+    cat_miou = float(np.mean([np.mean(v) for v in per_cat.values()]))
+    inst_miou = float(np.mean(inst_ious))
+    log(f"instance mIoU: {inst_miou:.4f}  category mIoU: {cat_miou:.4f}")
+    return {"instance_miou": inst_miou, "category_miou": cat_miou}
+
+
+def evaluate_classification(model, variables, dataset, task_info: TaskInfo,
+                            batch_size: int = 16,
+                            max_batches: int | None = None,
+                            log: Callable = print):
+    """16-way classification metrics (shapenet_classification.py:96-151)."""
+    from ..data.datasets import batch_iterator, to_device_batch
+
+    n_cls = task_info.n_out
+    fwd = make_tta_eval(model)
+    confmat = np.zeros((n_cls, n_cls), np.int64)
+    for bi, np_batch in enumerate(batch_iterator(dataset, batch_size,
+                                                 drop_last=False)):
+        if max_batches is not None and bi >= max_batches:
+            break
+        batch = to_device_batch(np_batch, task_info.task)
+        logits, _ = fwd(variables, batch.cloud, jnp.asarray(TTA_FLIPS[0]),
+                        jnp.asarray(TTA_SCALES[0]))
+        pred = np.asarray(jnp.argmax(logits[:, 0, :], axis=-1))
+        for y, p in zip(np.asarray(batch.labels), pred):
+            confmat[int(y), int(p)] += 1
+    acc, bal = M.confmat2acc(confmat)
+    prec, rec, f1 = M.confmat2precrec(confmat)
+    log(f"accuracy: {acc:.4f}  balanced: {bal:.4f}")
+    return {"accuracy": acc, "balanced_accuracy": bal,
+            "precision": prec.tolist(), "recall": rec.tolist(),
+            "f1": f1.tolist(), "confmat": confmat.tolist()}
