@@ -14,11 +14,27 @@ the same dense form the reference's fast paths prefer (dgcnn.py:162-207).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 
 _INF = jnp.float32(1e30)
+
+# kNN backend dispatch: "auto" uses the fused Pallas kernel on TPU backends
+# (pallas_knn.py) and the XLA blocked-matmul path on CPU; "xla"/"pallas"
+# force one. The Pallas kernel keeps distance tiles in VMEM — O(QK+N) HBM
+# traffic instead of O(QN) — which is the difference between memory-bound
+# and compute-bound at lidar scale.
+KNN_BACKEND = os.environ.get("CCN_KNN_BACKEND", "auto")
+
+
+def _use_pallas(dim: int) -> bool:
+    if KNN_BACKEND == "xla":
+        return False
+    if KNN_BACKEND == "pallas":
+        return True
+    return dim == 3 and jax.default_backend() not in ("cpu",)
 
 
 def _merge_topk(d_a, i_a, d_b, i_b, k):
@@ -51,6 +67,11 @@ def knn(query: jax.Array, points: jax.Array, q_valid: jax.Array,
     b, q, _ = query.shape
     n = points.shape[1]
     k = min(k, n)
+    if _use_pallas(query.shape[-1]):
+        from . import pallas_knn
+
+        return pallas_knn.knn_pallas(query, points, q_valid, p_valid, k,
+                                     radius=radius)
     block = min(block, n)
     num_blocks = -(-n // block)
     n_pad = num_blocks * block
