@@ -258,8 +258,9 @@ class EdgeConvStep(nn.Module):
             nbr_idx, _ = neighbors.knn(x, x, cloud.valid, cloud.valid,
                                        step.knn)
         elif step.name == "dgcnn-rad":
-            nbr_idx, _ = neighbors.ball_query(cloud.pos, cloud.pos,
-                                              cloud.valid, cloud.valid,
+            # radius query in FEATURE space (DynamicEdgeConv use_knn=False,
+            # reference dgcnn.py:81-84,113-126)
+            nbr_idx, _ = neighbors.ball_query(x, x, cloud.valid, cloud.valid,
                                               step.radius, 128)
         else:  # sgcnn
             if step.use_sparse_feat_agg:

@@ -21,20 +21,21 @@ import jax.numpy as jnp
 
 _INF = jnp.float32(1e30)
 
-# kNN backend dispatch: "auto" uses the fused Pallas kernel on TPU backends
-# (pallas_knn.py) and the XLA blocked-matmul path on CPU; "xla"/"pallas"
-# force one. The Pallas kernel keeps distance tiles in VMEM — O(QK+N) HBM
-# traffic instead of O(QN) — which is the difference between memory-bound
-# and compute-bound at lidar scale.
+# kNN backend dispatch ("auto" | "xla" | "grid" | "pallas"):
+#   * fixed-radius queries on TPU use the grid-hash path (grid_knn.py — the
+#     FRNN equivalent): O(Q·27·cap) HBM traffic instead of the brute-force
+#     O(Q·N) distance materialization;
+#   * unbounded kNN and CPU runs use the blocked-matmul brute force below.
 KNN_BACKEND = os.environ.get("CCN_KNN_BACKEND", "auto")
 
 
-def _use_pallas(dim: int) -> bool:
-    if KNN_BACKEND == "xla":
-        return False
-    if KNN_BACKEND == "pallas":
-        return True
-    return dim == 3 and jax.default_backend() not in ("cpu",)
+def _pick_backend(dim: int, radius) -> str:
+    if KNN_BACKEND != "auto":
+        return KNN_BACKEND
+    on_accel = jax.default_backend() not in ("cpu",)
+    if on_accel and dim == 3 and radius is not None:
+        return "grid"
+    return "xla"
 
 
 def _merge_topk(d_a, i_a, d_b, i_b, k):
@@ -67,7 +68,13 @@ def knn(query: jax.Array, points: jax.Array, q_valid: jax.Array,
     b, q, _ = query.shape
     n = points.shape[1]
     k = min(k, n)
-    if _use_pallas(query.shape[-1]):
+    backend = _pick_backend(query.shape[-1], radius)
+    if backend == "grid" and radius is not None:
+        from . import grid_knn as grid_mod
+
+        return grid_mod.grid_knn(query, points, q_valid, p_valid, k,
+                                 radius=float(radius))
+    if backend == "pallas":
         from . import pallas_knn
 
         return pallas_knn.knn_pallas(query, points, q_valid, p_valid, k,

@@ -57,7 +57,8 @@ def make_schedule(scheduler_cfg: dict, base_lr: float,
     ``exp``: lr·gamma^epoch (load_utils.py:49-52).
     ``cosine``: warm restarts with period doubling (load_utils.py:53-60).
     """
-    name = (scheduler_cfg or {}).get("name", "exp")
+    scheduler_cfg = scheduler_cfg or {}
+    name = scheduler_cfg.get("name", "exp")
     spe = max(1, steps_per_epoch)
     if name == "exp":
         gamma = scheduler_cfg.get("lr_gamma", 0.97)

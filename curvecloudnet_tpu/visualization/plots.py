@@ -1,0 +1,137 @@
+"""Point-cloud / curve / segmentation figures.
+
+Capability parallel of the reference's visualization stack
+(``src/visualization/visualize_plotly.py`` interactive figures and the
+Mitsuba path-traced renders, SURVEY.md §2.9).  This environment has neither
+plotly nor Mitsuba, so the default backend is matplotlib (always available);
+``to_plotly_figure`` upgrades to interactive HTML when plotly is installed.
+All functions accept padded arrays + validity masks.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+
+
+def _mpl():
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    return plt
+
+
+def _unpad(pos, valid, *extras):
+    pos = np.asarray(pos)
+    if valid is not None:
+        m = np.asarray(valid).astype(bool)
+        return (pos[m],) + tuple(
+            None if e is None else np.asarray(e)[m] for e in extras)
+    return (pos,) + tuple(None if e is None else np.asarray(e)
+                          for e in extras)
+
+
+def plot_curve_cloud(pos, curve_id, valid=None, path: str = "curves.png",
+                     max_points: int = 60000, elev: float = 25,
+                     azim: float = 45, point_size: float = 0.8):
+    """3D scatter colored by curve id (parallel of the datasets' debug viz,
+    reference kitti_dataset.py:154-168)."""
+    plt = _mpl()
+    pos, cid = _unpad(pos, valid, curve_id)
+    if len(pos) > max_points:
+        sel = np.random.default_rng(0).choice(len(pos), max_points, False)
+        pos, cid = pos[sel], cid[sel]
+    fig = plt.figure(figsize=(8, 8))
+    ax = fig.add_subplot(projection="3d")
+    colors = (cid * 0.61803398875) % 1.0  # golden-ratio hue scatter
+    ax.scatter(pos[:, 0], pos[:, 1], pos[:, 2], c=colors, cmap="hsv",
+               s=point_size, linewidths=0)
+    ax.view_init(elev=elev, azim=azim)
+    ax.set_axis_off()
+    fig.tight_layout()
+    fig.savefig(path, dpi=150)
+    plt.close(fig)
+    return path
+
+
+def plot_segmentation(pos, pred, gt=None, valid=None,
+                      cmap: Optional[np.ndarray] = None,
+                      path: str = "seg.png", max_points: int = 60000,
+                      point_size: float = 0.8):
+    """Prediction (and optional GT) 3D scatter panels
+    (reference visualize_plotly.py seg comparisons)."""
+    plt = _mpl()
+    pos, pred, gt = _unpad(pos, valid, pred, gt)
+    if len(pos) > max_points:
+        sel = np.random.default_rng(0).choice(len(pos), max_points, False)
+        pos, pred = pos[sel], pred[sel]
+        gt = None if gt is None else gt[sel]
+    panels = [("pred", pred)] + ([("gt", gt)] if gt is not None else [])
+    fig = plt.figure(figsize=(8 * len(panels), 8))
+    for i, (name, lab) in enumerate(panels):
+        ax = fig.add_subplot(1, len(panels), i + 1, projection="3d")
+        if cmap is not None:
+            c = np.asarray(cmap)[np.clip(lab, 0, len(cmap) - 1)]
+            ax.scatter(pos[:, 0], pos[:, 1], pos[:, 2], c=c, s=point_size,
+                       linewidths=0)
+        else:
+            ax.scatter(pos[:, 0], pos[:, 1], pos[:, 2], c=lab, cmap="tab20",
+                       s=point_size, linewidths=0)
+        ax.set_title(name)
+        ax.set_axis_off()
+    fig.tight_layout()
+    fig.savefig(path, dpi=150)
+    plt.close(fig)
+    return path
+
+
+def render_bev(pos, labels, valid=None, res: int = 512, extent: float = 3.0,
+               path: Optional[str] = None) -> np.ndarray:
+    """Fast bird's-eye-view label raster for lidar scenes (returns (res,res)
+    int image; useful for quick eval sanity checks and wandb logging)."""
+    pos, lab = _unpad(pos, valid, labels)
+    img = np.zeros((res, res), np.int32)
+    xy = np.clip(((pos[:, :2] + extent) / (2 * extent) * res), 0,
+                 res - 1).astype(int)
+    img[xy[:, 1], xy[:, 0]] = lab + 1
+    if path:
+        plt = _mpl()
+        plt.imsave(path, img, cmap="tab20")
+    return img
+
+
+def plot_confusion(confmat, class_names: Optional[Sequence[str]] = None,
+                   path: str = "confusion.png"):
+    """Row-normalized confusion matrix heatmap
+    (reference shapenet_classification.py:104-116)."""
+    plt = _mpl()
+    cm = np.asarray(confmat, np.float64)
+    norm = cm / np.maximum(cm.sum(1, keepdims=True), 1)
+    fig, ax = plt.subplots(figsize=(8, 8))
+    ax.imshow(norm, cmap="viridis", vmin=0, vmax=1)
+    if class_names:
+        ax.set_xticks(range(len(class_names)))
+        ax.set_yticks(range(len(class_names)))
+        ax.set_xticklabels(class_names, rotation=90, fontsize=7)
+        ax.set_yticklabels(class_names, fontsize=7)
+    ax.set_xlabel("pred")
+    ax.set_ylabel("true")
+    fig.tight_layout()
+    fig.savefig(path, dpi=150)
+    plt.close(fig)
+    return path
+
+
+def to_plotly_figure(pos, labels, valid=None):
+    """Interactive 3D figure when plotly is available (optional dep)."""
+    try:
+        import plotly.graph_objects as go
+    except ImportError:
+        return None
+    pos, lab = _unpad(pos, valid, labels)
+    return go.Figure(data=[go.Scatter3d(
+        x=pos[:, 0], y=pos[:, 1], z=pos[:, 2], mode="markers",
+        marker=dict(size=1.5, color=lab, colorscale="Turbo"))])
