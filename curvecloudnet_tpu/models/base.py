@@ -114,10 +114,13 @@ class CurveCloudNet(nn.Module):
 
         x = cloud.x
 
+        from .modules import _dt
+
         # ShapeNet-seg per-point category embedding (reference base.py:149-153)
         if spec.with_seg_category and categories is not None:
             cats = jax.nn.one_hot(categories, spec.n_categories)  # (B, 16)
-            cats = MLP((spec.n_categories, 64, 64), name="lin_categorical")(
+            cats = MLP((spec.n_categories, 64, 64), dtype=_dt(spec),
+                       name="lin_categorical")(
                 cats[:, None, :], train=train, bn_momentum=bn_momentum)
             cats = jnp.broadcast_to(cats, (x.shape[0], x.shape[1], 64))
             x = jnp.concatenate([x, cats], axis=-1)
@@ -127,7 +130,7 @@ class CurveCloudNet(nn.Module):
                 64 if spec.with_seg_category else 0)
             head_dims = (head_in,) + spec.out_mlp_dims + (spec.n_out,)
             x = MLP(head_dims, dropout=spec.out_mlp_dropout,
-                    use_bias=spec.use_bias, name="mlp")(
+                    use_bias=spec.use_bias, dtype=_dt(spec), name="mlp")(
                 x, mask=cloud.valid, train=train, bn_momentum=bn_momentum)
         return x, cloud.valid
 

@@ -92,6 +92,7 @@ class MLP(nn.Module):
     norm: str = "batch_norm"
     plain_last: bool = True
     dropout: float = 0.0
+    dtype: object = None  # compute dtype (e.g. jnp.bfloat16); params stay f32
 
     @nn.compact
     def __call__(self, x, mask=None, train: bool = False, bn_momentum=0.1):
@@ -104,7 +105,7 @@ class MLP(nn.Module):
             if plain and self.dropout > 0:
                 x = nn.Dropout(self.dropout, deterministic=not train)(x)
             x = nn.Dense(dims[i + 1], use_bias=self.use_bias,
-                         name=f"lin_{i}")(x)
+                         dtype=self.dtype, name=f"lin_{i}")(x)
             if not plain:
                 if self.norm == "batch_norm":
                     x = MaskedBatchNorm(name=f"norm_{i}")(

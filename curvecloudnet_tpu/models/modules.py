@@ -35,6 +35,11 @@ class StepCtx(nn.Module):
     """Mixin carrying shared step context."""
 
 
+def _dt(spec: ModelSpec):
+    """Matmul compute dtype from the spec (params remain float32)."""
+    return jnp.bfloat16 if spec.compute_dtype == "bfloat16" else None
+
+
 def _attend_dims(spec: ModelSpec, step: StepSpec, d: int) -> Tuple[int, ...]:
     """Attention-MLP widths (reference base.py:89-92,106-108,113-115)."""
     if step.name == "sa" and spec.version == 2.0:
@@ -46,7 +51,7 @@ def _maybe_attend_mlp(spec: ModelSpec, step: StepSpec, d: int,
                       name: str = "attend_nn") -> Optional[MLP]:
     if step.aggr_type in ("attend", "weighted-sum"):
         return MLP(_attend_dims(spec, step, d), act="leaky_relu",
-                   use_bias=spec.use_bias, name=name)
+                   use_bias=spec.use_bias, dtype=_dt(spec), name=name)
     return None
 
 
@@ -120,7 +125,8 @@ class SAStep(nn.Module):
             nbr_idx, _ = neighbors.ball_query(down.pos, cloud.pos, down.valid,
                                               cloud.valid, step.radius, 128)
         nbr_mask = nbr_idx >= 0
-        local_nn = MLP(self.dims, use_bias=self.spec.use_bias, name="nn")
+        local_nn = MLP(self.dims, use_bias=self.spec.use_bias,
+                       dtype=_dt(self.spec), name="nn")
         attend_nn = _maybe_attend_mlp(self.spec, step, self.dims[-1])
         x = _group_conv(local_nn, attend_nn, step, cloud.x, cloud.pos,
                         down.pos, nbr_idx, nbr_mask, train, bn_momentum)
@@ -149,7 +155,7 @@ class CurveSAStep(nn.Module):
             cloud.pos, idx, down.valid, cloud.curve_id, cloud.valid,
             step.radius, self.window)
         local_nn = MLP(self.dims, act="leaky_relu", use_bias=self.spec.use_bias,
-                       name="nn")
+                       dtype=_dt(self.spec), name="nn")
         attend_nn = _maybe_attend_mlp(self.spec, step, self.dims[-1])
         xo = _group_conv(local_nn, attend_nn, step, cloud.x, cloud.pos,
                          down.pos, nbr_idx, nbr_mask, train, bn_momentum)
@@ -167,7 +173,8 @@ class GlobalSAStep(nn.Module):
     def __call__(self, cloud: Cloud, *, train=False, bn_momentum=0.1,
                  key=None) -> Cloud:
         xin = jnp.concatenate([cloud.x, cloud.pos], axis=-1)
-        x = MLP(self.dims, use_bias=self.spec.use_bias, name="nn")(
+        x = MLP(self.dims, use_bias=self.spec.use_bias,
+                dtype=_dt(self.spec), name="nn")(
             xin, mask=cloud.valid, train=train, bn_momentum=bn_momentum)
         mask = cloud.valid[..., None]
         if self.step.pooling == "mean":
@@ -204,7 +211,8 @@ class FPStep(nn.Module):
         if self.step.with_xyz:
             parts.append(skip.pos)
         x = jnp.concatenate(parts, axis=-1)
-        x = MLP(self.dims, use_bias=self.spec.use_bias, name="nn")(
+        x = MLP(self.dims, use_bias=self.spec.use_bias,
+                dtype=_dt(self.spec), name="nn")(
             x, mask=skip.valid, train=train, bn_momentum=bn_momentum)
         return skip.with_features(x)
 
@@ -231,8 +239,8 @@ class CurveFPStep(nn.Module):
             parts.append(skip.pos)
         x = jnp.concatenate(parts, axis=-1)
         x = MLP(self.dims, act="leaky_relu", use_bias=self.spec.use_bias,
-                name="nn")(x, mask=skip.valid, train=train,
-                           bn_momentum=bn_momentum)
+                dtype=_dt(self.spec), name="nn")(
+            x, mask=skip.valid, train=train, bn_momentum=bn_momentum)
         return skip.with_features(x)
 
 
@@ -280,7 +288,8 @@ class EdgeConvStep(nn.Module):
         else:
             msg = jnp.concatenate(
                 [jnp.broadcast_to(xi, xj.shape), xj - xi], axis=-1)
-        local_nn = MLP(self.dims, use_bias=self.spec.use_bias, name="nn")
+        local_nn = MLP(self.dims, use_bias=self.spec.use_bias,
+                       dtype=_dt(self.spec), name="nn")
         msg = local_nn(msg, mask=nbr_mask, train=train, bn_momentum=bn_momentum)
         logits = None
         if step.aggr_type in ("attend", "weighted-sum"):
@@ -319,7 +328,8 @@ class SymmetricCurveConvStep(nn.Module):
                 diff = curve1d.feature_diffs(x, cid, valid)
                 x = jnp.concatenate([x, diff], axis=-1)
             xw = curve1d.symmetric_window_concat(x, cid, valid, half_k)
-            x = nn.Dense(self.dims[i], use_bias=True, name=f"conv_{i-1}")(xw)
+            x = nn.Dense(self.dims[i], use_bias=True, dtype=_dt(self.spec),
+                         name=f"conv_{i-1}")(xw)
             x = MaskedBatchNorm(name=f"norm_{i-1}")(
                 x, mask=valid, use_running_average=not train,
                 momentum=bn_momentum)
@@ -340,8 +350,8 @@ class SkipConnectStep(nn.Module):
                  train=False, bn_momentum=0.1, key=None) -> Cloud:
         x = jnp.concatenate([cloud.x] + list(skips), axis=-1)
         x = MLP(self.dims, act="leaky_relu", use_bias=self.spec.use_bias,
-                name="nn")(x, mask=cloud.valid, train=train,
-                           bn_momentum=bn_momentum)
+                dtype=_dt(self.spec), name="nn")(
+            x, mask=cloud.valid, train=train, bn_momentum=bn_momentum)
         return cloud.with_features(x)
 
 
@@ -358,6 +368,7 @@ class SharedMLPStep(nn.Module):
         x = cloud.xyz_concat(self.step.with_xyz)
         act = self.step.act or "leaky_relu"
         x = MLP(self.dims, act=act, use_bias=self.spec.use_bias,
-                plain_last=self.step.plain_last, name="mlp")(
+                plain_last=self.step.plain_last, dtype=_dt(self.spec),
+                name="mlp")(
             x, mask=cloud.valid, train=train, bn_momentum=bn_momentum)
         return cloud.with_features(x)

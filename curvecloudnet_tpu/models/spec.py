@@ -120,6 +120,9 @@ class ModelSpec:
     version: float = 2.0
     skip_connect_state_store: Tuple[str, ...] = ()
     identity_head: bool = False
+    # "float32" or "bfloat16": matmul compute dtype (params stay float32;
+    # BatchNorm statistics and reductions stay float32)
+    compute_dtype: str = "float32"
 
     def input_dim(self, i: int) -> Tuple[int, ...]:
         """Per-step MLP dims incl. inferred input width (base.py:66-84)."""
@@ -238,4 +241,5 @@ def parse_model_config(model_cfg: dict, in_dim: int, n_out: int) -> ModelSpec:
             model_cfg.get("skip_connect_state_store", ())
         ),
         identity_head=identity,
+        compute_dtype=model_cfg.get("compute_dtype", "float32"),
     )

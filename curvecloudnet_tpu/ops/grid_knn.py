@@ -25,15 +25,19 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-_INF = jnp.float32(1e30)
+# NOTE: module constants must be host (numpy) values — this module is
+# imported lazily from inside jit traces, and a module-level jnp.array
+# created during tracing would leak a tracer.
+_INF = 1e30
 _BITS = 10
 _OFF = 1 << (_BITS - 1)          # center cells around the origin
 _MASK = (1 << _BITS) - 1
 
-_NEIGHBOR_OFFSETS = jnp.array(
+_NEIGHBOR_OFFSETS = np.array(
     [[dx, dy, dz] for dx in (-1, 0, 1) for dy in (-1, 0, 1)
-     for dz in (-1, 0, 1)], jnp.int32)  # (27, 3)
+     for dz in (-1, 0, 1)], np.int32)  # (27, 3)
 
 
 def _cell_coords(pos: jax.Array, cell: float) -> jax.Array:
