@@ -32,6 +32,9 @@ class Sample:
     feat: Optional[np.ndarray]  # (N, F) or None
     labels: np.ndarray         # (N,) seg labels or scalar class
     category: int = 0          # object category (ShapeNet)
+    # host-side metadata (never shipped to device): e.g. submission-dump
+    # filename, inverse reorder permutation (reference nuscenes_seg.py:131-140)
+    meta: Optional[dict] = None
 
 
 class CurveDataset:
@@ -224,12 +227,13 @@ def batch_iterator(dataset: CurveDataset, batch_size: int,
     stop = n - batch_size + 1 if drop_last else n
     for start in range(0, max(stop, 0), batch_size):
         idxs = order[start:start + batch_size]
-        samples = [pad_sample(dataset.get(int(i), rng=rng, augment=augment),
-                              dataset.n_pad) for i in idxs]
-        yield {
-            k: np.stack([s[k] for s in samples])
-            for k in samples[0]
-        }
+        raw = [dataset.get(int(i), rng=rng, augment=augment) for i in idxs]
+        samples = [pad_sample(s, dataset.n_pad) for s in raw]
+        out = {k: np.stack([s[k] for s in samples]) for k in samples[0]}
+        metas = [s.meta for s in raw]
+        if any(m is not None for m in metas):
+            out["_meta"] = metas
+        yield out
 
 
 def to_device_batch(np_batch: Dict[str, np.ndarray], task: str):
@@ -239,6 +243,7 @@ def to_device_batch(np_batch: Dict[str, np.ndarray], task: str):
     from ..models.cloud import cloud_from_arrays
     from ..train import Batch
 
+    np_batch = {k: v for k, v in np_batch.items() if k != "_meta"}
     cloud = cloud_from_arrays(
         jnp.asarray(np_batch["pos"]),
         jnp.asarray(np_batch["curve_id"]),

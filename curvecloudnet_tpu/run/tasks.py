@@ -111,10 +111,46 @@ def make_tta_eval(model, n_views_full: bool = True):
     return jax.jit(fwd)
 
 
+def dump_submission(mean_logits, valid, metas, outdir: str):
+    """Write test-split predictions in the dataset's native format
+    (reference nuscenes_seg.py:131-140, kitti_seg.py:127-135)."""
+    import os
+
+    from ..data import lidar
+
+    for k, meta in enumerate(metas):
+        if meta is None:
+            continue
+        v = np.asarray(valid[k])
+        if meta.get("format") == "nuscenes":
+            # can't predict class 0 ('noise'): argmax over 1..C-1, +1
+            lg = np.asarray(mean_logits[k])[v][:, 1:]
+            pred = (np.argmax(lg, axis=-1) + 1).astype(np.uint8)
+            reorder = meta["reorder"][: len(pred)]
+            pred = pred[reorder]
+            folder = os.path.join(outdir, "results", "lidarseg", "test")
+            os.makedirs(folder, exist_ok=True)
+            pred.tofile(os.path.join(folder, meta["fname"]))
+        elif meta.get("format") == "kitti":
+            lg = np.asarray(mean_logits[k])[v]
+            pred = np.argmax(lg, axis=-1)
+            lut = np.zeros(max(lidar.KITTI_LEARNING_MAP_INV) + 1, np.uint32)
+            for a, b in lidar.KITTI_LEARNING_MAP_INV.items():
+                lut[a] = b
+            raw = lut[pred].astype(np.uint32)
+            parts = meta["fpath"].split(os.sep)
+            seq, fname = parts[-3], parts[-1][:-4] + ".label"
+            folder = os.path.join(outdir, "method_predictions", "sequences",
+                                  seq, "predictions")
+            os.makedirs(folder, exist_ok=True)
+            raw.tofile(os.path.join(folder, fname))
+
+
 def evaluate_segmentation(model, variables, dataset, task_info: TaskInfo,
                           batch_size: int = 1, max_batches: int | None = None,
-                          use_tta: bool | None = None, log: Callable = print):
-    """Full segmentation eval: (m)IoU + throughput.
+                          use_tta: bool | None = None, log: Callable = print,
+                          test_mode: bool = False, outdir: str | None = None):
+    """Full segmentation eval: (m)IoU + throughput (+ submission dumps).
 
     Returns dict(miou, per_class_iou, points_per_sec, mean_forward_s).
     """
@@ -132,6 +168,7 @@ def evaluate_segmentation(model, variables, dataset, task_info: TaskInfo,
                                                  drop_last=False)):
         if max_batches is not None and bi >= max_batches:
             break
+        metas = np_batch.pop("_meta", [None] * len(np_batch["pos"]))
         batch = to_device_batch(np_batch, task_info.task)
         logits_sum = None
         for f, s in views:
@@ -148,6 +185,8 @@ def evaluate_segmentation(model, variables, dataset, task_info: TaskInfo,
             lv = lv & (batch.labels != task_info.metric_ignore)
         hist = hist + M.masked_hist(pred, batch.labels, lv, n_cls)
         n_pts += int(np.asarray(batch.cloud.valid).sum())
+        if test_mode and outdir is not None:
+            dump_submission(mean_logits, batch.cloud.valid, metas, outdir)
 
     hist = np.asarray(hist)
     if task_info.metric_ignore is not None:
