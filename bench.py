@@ -20,6 +20,10 @@ def main():
     iters = int(os.environ.get("BENCH_ITERS", 10))
 
     import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_CACHE_DIR", "/tmp/ccn_jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
     import jax.numpy as jnp
 
     from curvecloudnet_tpu.config import load_config

@@ -1,0 +1,104 @@
+#!/usr/bin/env python3
+"""Capture a device trace of the flagship forward and print top ops by time.
+
+Parses the xplane protobuf directly (no TensorBoard UI needed).
+"""
+
+import glob
+import os
+import sys
+import time
+from collections import defaultdict
+
+import numpy as np
+
+
+def summarize_xplane(trace_dir: str, top: int = 40):
+    paths = glob.glob(os.path.join(trace_dir, "**", "*.xplane.pb"),
+                      recursive=True)
+    if not paths:
+        print("no xplane found under", trace_dir)
+        return
+    path = max(paths, key=os.path.getmtime)
+    from xprof.protobuf import xplane_pb2
+
+    xs = xplane_pb2.XSpace()
+    with open(path, "rb") as f:
+        xs.ParseFromString(f.read())
+    for plane in xs.planes:
+        if "TPU" not in plane.name and "tpu" not in plane.name.lower():
+            continue
+        op_time = defaultdict(float)
+        op_count = defaultdict(int)
+        meta = {m.id: m.name for m in plane.event_metadata.values()}
+        for line in plane.lines:
+            if "XLA Ops" not in line.name and "xla op" not in line.name.lower():
+                continue
+            for ev in line.events:
+                name = meta.get(ev.metadata_id, str(ev.metadata_id))
+                op_time[name] += ev.duration_ps / 1e9  # ms
+                op_count[name] += 1
+        if not op_time:
+            # fall back to any line with events
+            for line in plane.lines:
+                for ev in line.events:
+                    name = meta.get(ev.metadata_id, str(ev.metadata_id))
+                    op_time[f"{line.name}:{name}"] += ev.duration_ps / 1e9
+                    op_count[f"{line.name}:{name}"] += 1
+        total = sum(op_time.values())
+        print(f"\n=== plane {plane.name}: total {total:.1f} ms over "
+              f"{sum(op_count.values())} events ===")
+        for name, t in sorted(op_time.items(), key=lambda kv: -kv[1])[:top]:
+            print(f"{t:9.2f} ms  x{op_count[name]:5d}  {name[:110]}")
+        return
+
+
+def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "parse":
+        summarize_xplane(sys.argv[2])
+        return
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_CACHE_DIR", "/tmp/ccn_jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    import jax.numpy as jnp
+
+    from curvecloudnet_tpu.config import load_config
+    from curvecloudnet_tpu.data.synthetic import synthetic_lidar_batch
+    from curvecloudnet_tpu.models import (
+        CurveCloudNet, cloud_from_arrays, parse_model_config,
+    )
+
+    n_points = int(os.environ.get("PROF_POINTS", 32768))
+    trace_dir = os.environ.get("PROF_DIR", "/tmp/ccn_trace")
+    cfg = load_config("configs/nuscenes.yaml")
+    spec = parse_model_config(cfg["model"], in_dim=4, n_out=17)
+    model = CurveCloudNet(spec, n_points=n_points)
+    rng = np.random.default_rng(0)
+    pos, feat, cid, valid, _ = synthetic_lidar_batch(rng, 1, n_points)
+    cloud = cloud_from_arrays(jnp.asarray(pos), jnp.asarray(cid),
+                              jnp.asarray(valid), jnp.asarray(feat))
+    key = jax.random.PRNGKey(0)
+    variables = jax.jit(lambda c: model.init(
+        {"params": key, "dropout": key}, c, train=False, key=key))(cloud)
+    fwd = jax.jit(lambda v, c: model.apply(v, c, train=False,
+                                           key=jax.random.PRNGKey(0))[0])
+    out = fwd(variables, cloud)
+    out.block_until_ready()
+    t0 = time.time()
+    out = fwd(variables, cloud)
+    out.block_until_ready()
+    print(f"steady-state forward: {(time.time()-t0)*1e3:.1f} ms")
+
+    with jax.profiler.trace(trace_dir):
+        for _ in range(3):
+            out = fwd(variables, cloud)
+        out.block_until_ready()
+    print("trace written to", trace_dir)
+    summarize_xplane(trace_dir)
+
+
+if __name__ == "__main__":
+    main()
