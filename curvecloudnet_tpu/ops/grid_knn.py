@@ -31,9 +31,13 @@ import numpy as np
 # imported lazily from inside jit traces, and a module-level jnp.array
 # created during tracing would leak a tracer.
 _INF = 1e30
-_BITS = 10
+# 7 bits per axis -> dense 2^21-cell start/count tables.  A dense table
+# lookup is one gather; the earlier searchsorted formulation cost 15
+# binary-search gather rounds per neighbor cell (~420 ms/forward on v5e).
+_BITS = 7
 _OFF = 1 << (_BITS - 1)          # center cells around the origin
 _MASK = (1 << _BITS) - 1
+_NCELLS = 1 << (3 * _BITS)
 
 _NEIGHBOR_OFFSETS = np.array(
     [[dx, dy, dz] for dx in (-1, 0, 1) for dy in (-1, 0, 1)
@@ -55,22 +59,23 @@ def grid_knn_single(query, points, q_valid, p_valid, k: int, radius: float,
     n = points.shape[0]
     cell = radius
     pc = _pack(_cell_coords(points, cell))
-    pc = jnp.where(p_valid, pc, jnp.int32(2**30))  # park invalid at the end
+    pc = jnp.where(p_valid, pc, _NCELLS)  # park invalid in overflow cell
     order = jnp.argsort(pc)
-    sorted_ids = pc[order]
+    # dense per-cell start/end tables: one scatter-add + one cumsum replaces
+    # the per-neighbor-cell binary searches
+    counts = jnp.zeros((_NCELLS + 1,), jnp.int32).at[pc].add(1)
+    ends_table = jnp.cumsum(counts)
+    starts_table = ends_table - counts
 
     qc = _cell_coords(query, cell)  # (Q, 3)
-    nbr_cells = _pack(qc[:, None, :] + _NEIGHBOR_OFFSETS[None, :, :])
     # clip handled inside _cell_coords for points; for query neighbors the
     # ±1 offsets can step past the clip range — clamp the packed coords too
     nbr_coords = jnp.clip(qc[:, None, :] + _NEIGHBOR_OFFSETS[None, :, :],
                           0, _MASK)
     nbr_cells = _pack(nbr_coords)  # (Q, 27)
 
-    start = jnp.searchsorted(sorted_ids, nbr_cells.reshape(-1),
-                             side="left").reshape(nbr_cells.shape)
-    end = jnp.searchsorted(sorted_ids, nbr_cells.reshape(-1),
-                           side="right").reshape(nbr_cells.shape)
+    start = starts_table[nbr_cells]
+    end = ends_table[nbr_cells]
     end = jnp.minimum(end, start + cap)
 
     slots = jnp.arange(cap, dtype=jnp.int32)
