@@ -1,22 +1,25 @@
 """Grid-hash fixed-radius kNN — the FRNN equivalent, in pure XLA.
 
 The reference's hot neighbor searches are fixed-radius kNN through the CUDA
-FRNN grid kernel (reference point_ops.py:431-461).  This implementation
-keeps FRNN's algorithm but maps it to static shapes:
+FRNN grid kernel (reference point_ops.py:431-461).  This implementation maps
+FRNN's cell-list algorithm to TPU-friendly static shapes, designed around a
+measured v5e constraint: HBM gathers cost ~7ns per ROW regardless of row
+width, so candidates are fetched at *cell* granularity:
 
-  1. voxelize at cell = radius, pack integer cell coords into one int32
-     (10 bits/axis, coords clipped to ±512 cells — beyond-range points land
-     in boundary cells and are rejected by the distance mask);
-  2. sort points by cell id (one XLA sort, O(N log N) on-device);
-  3. per query, binary-search (searchsorted) the start/end of each of its
-     27 neighboring cells in the sorted id array;
-  4. gather up to ``cap`` candidates per cell -> (Q, 27·cap) candidate set,
-     compute distances, mask by radius/validity, take top-k.
+  1. voxelize at cell = radius; pack integer cell coords (7 bits/axis,
+     clipped to ±64 cells — out-of-range points clamp to boundary cells and
+     are rejected by the distance mask);
+  2. hash the 21-bit cell id into 2^18 buckets and scatter each point's
+     record [x, y, z, orig_idx] into its bucket row at its rank-in-bucket
+     (ranks from one sort by bucket id; ranks >= cap drop, FRNN-style cap);
+  3. per query, gather the 27 neighboring cells' *rows* — (Q·27) wide-row
+     gathers instead of (Q·27·cap) scalar-row gathers (~20x faster);
+  4. distances on the VPU, mask by radius, top-k.
 
-HBM traffic is O(Q·27·cap) instead of the brute-force O(Q·N): at lidar scale
-(N=2^15, cap=16) that's ~80x less.  Exactness caveat (same as FRNN's grid
-cap): cells holding more than ``cap`` points are truncated; with cell size
-== radius and lidar densities, cap=16..32 keeps recall ≈ 1.
+Hash collisions are harmless for correctness: colliding far cells' points
+fail the radius test; colliding near cells' points are genuine in-radius
+neighbors.  They only share the per-bucket ``cap`` budget (<~12% occupancy
+at lidar scale).
 """
 
 from __future__ import annotations
@@ -31,13 +34,11 @@ import numpy as np
 # imported lazily from inside jit traces, and a module-level jnp.array
 # created during tracing would leak a tracer.
 _INF = 1e30
-# 7 bits per axis -> dense 2^21-cell start/count tables.  A dense table
-# lookup is one gather; the earlier searchsorted formulation cost 15
-# binary-search gather rounds per neighbor cell (~420 ms/forward on v5e).
-_BITS = 7
-_OFF = 1 << (_BITS - 1)          # center cells around the origin
+_BITS = 7                         # cell-coordinate bits per axis
+_OFF = 1 << (_BITS - 1)           # center cells around the origin
 _MASK = (1 << _BITS) - 1
-_NCELLS = 1 << (3 * _BITS)
+_HASH_BITS = 18                   # dense bucket table size = 2^18
+_NBUCKETS = 1 << _HASH_BITS
 
 _NEIGHBOR_OFFSETS = np.array(
     [[dx, dy, dz] for dx in (-1, 0, 1) for dy in (-1, 0, 1)
@@ -53,56 +54,65 @@ def _pack(c: jax.Array) -> jax.Array:
     return (c[..., 0] << (2 * _BITS)) | (c[..., 1] << _BITS) | c[..., 2]
 
 
+def _hash(cell_id: jax.Array) -> jax.Array:
+    h = cell_id.astype(jnp.uint32) * jnp.uint32(2654435761)
+    return (h >> (32 - _HASH_BITS)).astype(jnp.int32)
+
+
 def grid_knn_single(query, points, q_valid, p_valid, k: int, radius: float,
                     cap: int = 16):
     """Single-sample grid kNN. query (Q,3), points (N,3) -> (Q,k) idx/dist."""
     n = points.shape[0]
     cell = radius
     pc = _pack(_cell_coords(points, cell))
-    pc = jnp.where(p_valid, pc, _NCELLS)  # park invalid in overflow cell
-    order = jnp.argsort(pc)
-    # dense per-cell start/end tables: one scatter-add + one cumsum replaces
-    # the per-neighbor-cell binary searches
-    counts = jnp.zeros((_NCELLS + 1,), jnp.int32).at[pc].add(1)
-    ends_table = jnp.cumsum(counts)
-    starts_table = ends_table - counts
+    bucket = _hash(pc)
+    bucket = jnp.where(p_valid, bucket, _NBUCKETS)  # park invalid
+
+    # rank within bucket via one sort
+    order = jnp.argsort(bucket)
+    sorted_b = bucket[order]
+    is_start = jnp.concatenate(
+        [jnp.ones((1,), bool), sorted_b[1:] != sorted_b[:-1]])
+    pos_iota = jnp.arange(n, dtype=jnp.int32)
+    start_pos = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(is_start, pos_iota, 0))
+    rank_sorted = pos_iota - start_pos
+    rank = jnp.zeros((n,), jnp.int32).at[order].set(rank_sorted)
+
+    # dense bucket matrix of point records [x, y, z, bitcast(orig_idx)]
+    rec = jnp.concatenate(
+        [points,
+         jax.lax.bitcast_convert_type(
+             jnp.arange(n, dtype=jnp.int32), jnp.float32)[:, None]], axis=-1)
+    table = jnp.full((_NBUCKETS + 1, cap, 4), _INF, jnp.float32)
+    neg1 = jax.lax.bitcast_convert_type(jnp.int32(-1), jnp.float32)
+    table = table.at[:, :, 3].set(neg1)
+    keep = (rank < cap) & p_valid
+    safe_bucket = jnp.where(keep, bucket, _NBUCKETS)
+    safe_rank = jnp.where(keep, rank, 0)
+    table = table.at[safe_bucket, safe_rank].set(rec)
 
     qc = _cell_coords(query, cell)  # (Q, 3)
-    # clip handled inside _cell_coords for points; for query neighbors the
-    # ±1 offsets can step past the clip range — clamp the packed coords too
     nbr_coords = jnp.clip(qc[:, None, :] + _NEIGHBOR_OFFSETS[None, :, :],
                           0, _MASK)
-    nbr_cells = _pack(nbr_coords)  # (Q, 27)
+    nbr_buckets = _hash(_pack(nbr_coords))  # (Q, 27)
 
-    start = starts_table[nbr_cells]
-    end = ends_table[nbr_cells]
-    end = jnp.minimum(end, start + cap)
-
-    slots = jnp.arange(cap, dtype=jnp.int32)
-    cand_sorted = start[..., None] + slots  # (Q, 27, cap)
-    cand_mask = cand_sorted < end[..., None]
-    cand_sorted = jnp.clip(cand_sorted, 0, n - 1)
-    cand_idx = order[cand_sorted]  # (Q, 27, cap) original indices
-
+    cand = table[nbr_buckets]  # (Q, 27, cap, 4) — 27 wide-row gathers/query
     q_, c_ = query.shape[0], 27 * cap
-    cand_idx = cand_idx.reshape(q_, c_)
-    cand_mask = cand_mask.reshape(q_, c_)
-    cand_pos = points[cand_idx]  # (Q, C, 3)
+    cand = cand.reshape(q_, c_, 4)
+    cand_pos = cand[..., :3]
+    cand_idx = jax.lax.bitcast_convert_type(cand[..., 3], jnp.int32)
     d2 = jnp.sum((cand_pos - query[:, None, :]) ** 2, axis=-1)
-    good = (cand_mask & q_valid[:, None] & (d2 <= radius * radius)
-            & p_valid[cand_idx])
-    # duplicate cells (clamped coords can repeat a neighbor cell) would
-    # duplicate candidates; knock out repeats of the same point index
+    good = (cand_idx >= 0) & q_valid[:, None] & (d2 <= radius * radius)
     d2 = jnp.where(good, d2, _INF)
 
     k_eff = min(k, c_)
     neg, sel = jax.lax.top_k(-d2, k_eff)
     top_d2 = -neg
     top_idx = jnp.take_along_axis(cand_idx, sel, axis=-1)
-    # dedup: same point picked via two clamped duplicate cells
-    dup = jnp.zeros_like(top_idx, dtype=bool)
-    same = (top_idx[:, :, None] == top_idx[:, None, :])
-    tri = jnp.tril(jnp.ones((k_eff, k_eff), bool), k=-1)
+    # dedup: boundary-clamped coords can repeat a neighbor cell
+    same = top_idx[:, :, None] == top_idx[:, None, :]
+    tri = np.tril(np.ones((k_eff, k_eff), bool), k=-1)
     dup = jnp.any(same & tri[None] & (top_d2[:, None, :] < _INF), axis=-1)
     ok = (top_d2 < _INF) & ~dup
     idx = jnp.where(ok, top_idx, -1)

@@ -20,7 +20,7 @@ def summarize_xplane(trace_dir: str, top: int = 40):
         print("no xplane found under", trace_dir)
         return
     path = max(paths, key=os.path.getmtime)
-    from xprof.protobuf import xplane_pb2
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
 
     xs = xplane_pb2.XSpace()
     with open(path, "rb") as f:
