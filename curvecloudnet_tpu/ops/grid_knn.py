@@ -80,26 +80,31 @@ def grid_knn_single(query, points, q_valid, p_valid, k: int, radius: float,
     rank = jnp.zeros((n,), jnp.int32).at[order].set(rank_sorted)
 
     # dense bucket matrix of point records [x, y, z, bitcast(orig_idx)]
+    # Table rows are one bucket's records, channel-major: [x*cap, y*cap,
+    # z*cap, idx*cap] = cap*4 contiguous floats.  A flat 2D table keeps the
+    # row gather on contiguous memory (a 3D (.., cap, 4) table made XLA pick
+    # a transposed tiling where each gathered "row" touched many tiny tiles).
     rec = jnp.concatenate(
         [points,
          jax.lax.bitcast_convert_type(
              jnp.arange(n, dtype=jnp.int32), jnp.float32)[:, None]], axis=-1)
-    table = jnp.full((_NBUCKETS + 1, cap, 4), _INF, jnp.float32)
     neg1 = jax.lax.bitcast_convert_type(jnp.int32(-1), jnp.float32)
-    table = table.at[:, :, 3].set(neg1)
+    fill = jnp.repeat(jnp.array([_INF, _INF, _INF, neg1], jnp.float32), cap)
+    table = jnp.broadcast_to(fill[None, :], (_NBUCKETS + 1, cap * 4))
     keep = (rank < cap) & p_valid
     safe_bucket = jnp.where(keep, bucket, _NBUCKETS)
     safe_rank = jnp.where(keep, rank, 0)
-    table = table.at[safe_bucket, safe_rank].set(rec)
+    cols = safe_rank[:, None] + cap * jnp.arange(4, dtype=jnp.int32)[None, :]
+    table = table.at[safe_bucket[:, None], cols].set(rec)
 
     qc = _cell_coords(query, cell)  # (Q, 3)
     nbr_coords = jnp.clip(qc[:, None, :] + _NEIGHBOR_OFFSETS[None, :, :],
                           0, _MASK)
     nbr_buckets = _hash(_pack(nbr_coords))  # (Q, 27)
 
-    cand = table[nbr_buckets]  # (Q, 27, cap, 4) — 27 wide-row gathers/query
+    cand = table[nbr_buckets]  # (Q, 27, cap*4) contiguous row gathers
     q_, c_ = query.shape[0], 27 * cap
-    cand = cand.reshape(q_, c_, 4)
+    cand = cand.reshape(q_, 27, 4, cap).swapaxes(2, 3).reshape(q_, c_, 4)
     cand_pos = cand[..., :3]
     cand_idx = jax.lax.bitcast_convert_type(cand[..., 3], jnp.int32)
     d2 = jnp.sum((cand_pos - query[:, None, :]) ** 2, axis=-1)

@@ -21,12 +21,18 @@ selection. M is a static budget; selections past the budget are dropped
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
 from . import segments
 
 _BIG = jnp.float32(1e30)
+
+# "auto" runs the Pallas in-VMEM FPS kernel on TPU backends (pallas_fps.py)
+# and the XLA fori_loop on CPU; "xla"/"pallas" force one.
+FPS_BACKEND = os.environ.get("CCN_FPS_BACKEND", "auto")
 
 
 def mask_to_indices(mask: jax.Array, budget: int):
@@ -85,6 +91,14 @@ def fps(pos: jax.Array, valid: jax.Array, ratio: float,
     ``budget`` iterations; slots past each sample's own K are invalidated.
     """
     b, n, _ = pos.shape
+    use_pallas = (FPS_BACKEND == "pallas" or
+                  (FPS_BACKEND == "auto"
+                   and jax.default_backend() not in ("cpu",)))
+    if use_pallas:
+        from . import pallas_fps
+
+        return pallas_fps.fps_pallas(pos, valid, ratio, key=key,
+                                     budget=budget)
     if budget is None:
         budget = max(1, int(-(-n * ratio // 1)))
     budget = min(budget, n)
