@@ -34,11 +34,12 @@ def _fps_kernel(start_ref, px_ref, py_ref, pz_ref, valid_ref, out_ref,
     mind2_ref[:] = jnp.where(valid, 1e30, _NEG)
 
     def body(i, last):
-        sub = last // lanes
-        lane = last % lanes
-        lx = px_ref[sub, lane]
-        ly = py_ref[sub, lane]
-        lz = pz_ref[sub, lane]
+        # select the last-picked point's coords with a masked reduction —
+        # Mosaic cannot prove alignment for arbitrary-lane scalar VMEM reads
+        hit = (flat == last).astype(jnp.float32)
+        lx = jnp.sum(px_ref[:] * hit)
+        ly = jnp.sum(py_ref[:] * hit)
+        lz = jnp.sum(pz_ref[:] * hit)
         d2 = ((px_ref[:] - lx) ** 2 + (py_ref[:] - ly) ** 2
               + (pz_ref[:] - lz) ** 2)
         mind2 = jnp.minimum(mind2_ref[:], d2)

@@ -111,6 +111,40 @@ def make_tta_eval(model, n_views_full: bool = True):
     return jax.jit(fwd)
 
 
+def make_batched_tta_eval(model):
+    """All 12 TTA views of a (B=1) cloud as ONE batched forward.
+
+    Expanding views into the batch axis amortizes every per-dispatch fixed
+    cost (weight staging, sampler loops) 12x vs the reference's sequential
+    TTA loop (nuscenes_seg.py:91-106).  Returns fn(variables, cloud) ->
+    (mean_logits (1, N, C), out_valid (1, N)).
+    """
+    flips = jnp.asarray(TTA_FLIPS)          # (4, 2)
+    scales = jnp.asarray(TTA_SCALES)        # (3,)
+    fs = jnp.stack([jnp.repeat(flips, 3, axis=0),
+                    jnp.tile(scales, 4)[:, None] * jnp.ones((12, 2))],
+                   axis=-1)  # (12, 2, 2): [:, :, 0]=flip, [:, :, 1]=scale
+
+    def fwd(variables, cloud):
+        xy = (cloud.pos[..., :2] * fs[:, None, :, 0]
+              * fs[:, None, :, 1])          # (12, N, 2)
+        pos = jnp.concatenate(
+            [xy, jnp.broadcast_to(cloud.pos[..., 2:],
+                                  (12,) + cloud.pos.shape[1:2] + (1,))],
+            axis=-1)
+        rep = lambda a: (None if a is None else  # noqa: E731
+                         jnp.broadcast_to(a[0][None],
+                                          (12,) + a.shape[1:]))
+        c = cloud.replace(pos=pos, x=rep(cloud.x), valid=rep(cloud.valid),
+                          curve_id=rep(cloud.curve_id))
+        logits, out_valid = model.apply(variables, c, train=False,
+                                        key=jax.random.PRNGKey(0))
+        return (jnp.mean(logits, axis=0, keepdims=True),
+                out_valid[:1])
+
+    return jax.jit(fwd)
+
+
 def dump_submission(mean_logits, valid, metas, outdir: str):
     """Write test-split predictions in the dataset's native format
     (reference nuscenes_seg.py:131-140, kitti_seg.py:127-135)."""
@@ -149,7 +183,8 @@ def dump_submission(mean_logits, valid, metas, outdir: str):
 def evaluate_segmentation(model, variables, dataset, task_info: TaskInfo,
                           batch_size: int = 1, max_batches: int | None = None,
                           use_tta: bool | None = None, log: Callable = print,
-                          test_mode: bool = False, outdir: str | None = None):
+                          test_mode: bool = False, outdir: str | None = None,
+                          batched_tta: bool = True):
     """Full segmentation eval: (m)IoU + throughput (+ submission dumps).
 
     Returns dict(miou, per_class_iou, points_per_sec, mean_forward_s).
@@ -158,7 +193,8 @@ def evaluate_segmentation(model, variables, dataset, task_info: TaskInfo,
 
     use_tta = task_info.tta if use_tta is None else use_tta
     n_cls = task_info.n_out
-    fwd = make_tta_eval(model)
+    use_batched = use_tta and batched_tta and batch_size == 1
+    fwd = make_batched_tta_eval(model) if use_batched else make_tta_eval(model)
     hist = jnp.zeros((n_cls, n_cls), jnp.int32)
     times, n_pts = [], 0
     views = ([(f, s) for f in TTA_FLIPS for s in TTA_SCALES]
@@ -170,15 +206,22 @@ def evaluate_segmentation(model, variables, dataset, task_info: TaskInfo,
             break
         metas = np_batch.pop("_meta", [None] * len(np_batch["pos"]))
         batch = to_device_batch(np_batch, task_info.task)
-        logits_sum = None
-        for f, s in views:
+        if use_batched:
             t0 = time.time()
-            logits, out_valid = fwd(variables, batch.cloud,
-                                    jnp.asarray(f), jnp.asarray(s))
-            logits.block_until_ready()
+            mean_logits, out_valid = fwd(variables, batch.cloud)
+            mean_logits.block_until_ready()
             times.append(time.time() - t0)
-            logits_sum = logits if logits_sum is None else logits_sum + logits
-        mean_logits = logits_sum / len(views)
+        else:
+            logits_sum = None
+            for f, s in views:
+                t0 = time.time()
+                logits, out_valid = fwd(variables, batch.cloud,
+                                        jnp.asarray(f), jnp.asarray(s))
+                logits.block_until_ready()
+                times.append(time.time() - t0)
+                logits_sum = (logits if logits_sum is None
+                              else logits_sum + logits)
+            mean_logits = logits_sum / len(views)
         pred = jnp.argmax(mean_logits, axis=-1)
         lv = out_valid
         if task_info.metric_ignore is not None:
