@@ -164,23 +164,11 @@ def voxel_downsample(pos: jax.Array, valid: jax.Array, voxel_size: float,
     key_a = jnp.where(valid, key_a, jnp.uint32(0xFFFFFFFF))
     key_b = jnp.where(valid, key_b, jnp.uint32(0xFFFFFFFF))
 
-    # three-pass stable sort: distance, then key_b, then key_a — rows end up
-    # grouped by (key_a, key_b) with min-distance first within each voxel
-    order = jnp.argsort(dist, axis=-1)
-    order = jnp.take_along_axis(
-        order,
-        jnp.argsort(jnp.take_along_axis(key_b, order, axis=-1), axis=-1,
-                    stable=True),
-        axis=-1,
-    )
-    order = jnp.take_along_axis(
-        order,
-        jnp.argsort(jnp.take_along_axis(key_a, order, axis=-1), axis=-1,
-                    stable=True),
-        axis=-1,
-    )
-    sa = jnp.take_along_axis(key_a, order, axis=-1)
-    sb = jnp.take_along_axis(key_b, order, axis=-1)
+    # one lexicographic multi-key sort by (key_a, key_b, dist), carrying the
+    # original index — rows end up grouped by voxel with min-distance first
+    iota = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), (b, n))
+    sa, sb, _, order = jax.lax.sort(
+        (key_a, key_b, dist, iota), dimension=-1, num_keys=3)
     firsts = jnp.concatenate(
         [jnp.ones((b, 1), bool),
          (sa[:, 1:] != sa[:, :-1]) | (sb[:, 1:] != sb[:, :-1])],
