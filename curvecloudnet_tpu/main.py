@@ -114,6 +114,39 @@ def run_eval(model, variables, val_ds, info, cfg, log=print):
         test_mode=bool(cfg.get("only_test")), outdir=cfg.get("outdir"))
 
 
+def run_viz(model, variables, val_ds, info, cfg, outdir, n_samples=4):
+    """Render prediction/GT/curve figures for a few val samples
+    (reference viz_seg paths, e.g. nuscenes_seg.py:168-226)."""
+    import jax.numpy as jnp
+
+    from .data import datasets as D
+    from .run import tasks as T
+    from .visualization import plot_curve_cloud, plot_segmentation
+
+    viz_dir = os.path.join(outdir, "viz")
+    os.makedirs(viz_dir, exist_ok=True)
+    fwd = T.make_tta_eval(model)
+    for i, np_batch in enumerate(D.batch_iterator(val_ds, 1,
+                                                  drop_last=False)):
+        if i >= n_samples:
+            break
+        np_batch.pop("_meta", None)
+        batch = D.to_device_batch(np_batch, info.task)
+        logits, out_valid = fwd(variables, batch.cloud,
+                                jnp.asarray(T.TTA_FLIPS[0]),
+                                jnp.asarray(T.TTA_SCALES[0]))
+        pred = np.asarray(jnp.argmax(logits, -1))[0]
+        valid = np.asarray(out_valid)[0]
+        pos = np.asarray(batch.cloud.pos)[0]
+        plot_curve_cloud(pos, np.asarray(batch.cloud.curve_id)[0], valid,
+                         os.path.join(viz_dir, f"curves_{i}.png"))
+        gt = (np.asarray(batch.labels)[0]
+              if np.ndim(np.asarray(batch.labels)) > 1 else None)
+        plot_segmentation(pos, pred, gt, valid,
+                          path=os.path.join(viz_dir, f"seg_{i}.png"))
+    print(f"wrote figures to {viz_dir}")
+
+
 def score_of(result: dict) -> float:
     for k in ("miou", "instance_miou", "accuracy"):
         if k in result:
@@ -170,6 +203,11 @@ def main(cfg: dict) -> Optional[float]:
     class_weights = None
     if cfg.get("use_ce_weights") and info.class_weights is not None:
         class_weights = jnp.asarray(info.class_weights, jnp.float32)
+
+    if cfg.get("only_viz"):
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        run_viz(model, variables, val_ds, info, cfg, outdir)
+        return None
 
     if cfg.get("only_val") or cfg.get("only_test"):
         variables = {"params": state.params, "batch_stats": state.batch_stats}
