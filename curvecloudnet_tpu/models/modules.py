@@ -151,14 +151,30 @@ class CurveSAStep(nn.Module):
         cloud = cloud.with_features(x)
         idx, idx_valid = _downsample(step, cloud, self.budget, key)
         down = cloud.gather(idx, idx_valid)
-        nbr_idx, nbr_mask = curve1d.radius_1d_group_subset(
+        _, nbr_mask = curve1d.radius_1d_group_subset(
             cloud.pos, idx, down.valid, cloud.curve_id, cloud.valid,
             step.radius, self.window)
+        # candidates are contiguous along-curve windows: fetch features and
+        # positions as window slices (wide reads) instead of row gathers
+        pw = curve1d.gather_window_features(cloud.pos, idx, self.window)
+        rel = pw - down.pos[:, :, None, :]
+        if step.normalize_radius and step.radius:
+            rel = rel / step.radius
+        if cloud.x is not None:
+            xw = curve1d.gather_window_features(cloud.x, idx, self.window)
+            msg = jnp.concatenate([xw, rel], axis=-1)
+        else:
+            msg = rel
         local_nn = MLP(self.dims, act="leaky_relu", use_bias=self.spec.use_bias,
                        dtype=_dt(self.spec), name="nn")
+        msg = local_nn(msg, mask=nbr_mask, train=train,
+                       bn_momentum=bn_momentum)
         attend_nn = _maybe_attend_mlp(self.spec, step, self.dims[-1])
-        xo = _group_conv(local_nn, attend_nn, step, cloud.x, cloud.pos,
-                         down.pos, nbr_idx, nbr_mask, train, bn_momentum)
+        logits = None
+        if attend_nn is not None:
+            logits = attend_nn(msg, mask=nbr_mask, train=train,
+                               bn_momentum=bn_momentum)
+        xo = aggregate.aggregate(msg, nbr_mask, step.aggr_type, logits)
         return down.with_features(xo)
 
 

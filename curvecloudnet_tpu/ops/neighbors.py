@@ -33,8 +33,8 @@ def _pick_backend(dim: int, radius) -> str:
     if KNN_BACKEND != "auto":
         return KNN_BACKEND
     on_accel = jax.default_backend() not in ("cpu",)
-    if on_accel and dim == 3 and radius is not None:
-        return "grid"
+    if on_accel and dim == 3:
+        return "grid" if radius is not None else "pallas"
     return "xla"
 
 

@@ -1,19 +1,14 @@
-"""Pallas TPU kernel: fused masked kNN / fixed-radius query.
+"""Pallas TPU kernel: fused masked kNN (unbounded — no radius grid).
 
-Replaces the XLA blocked-matmul kNN (ops/neighbors.py) on the hot path and
-the reference's CUDA FRNN grid kernel (reference point_ops.py:431-461).  The
-XLA fallback materializes (Q, block) distance tiles in HBM between the matmul
-and the top-k; this kernel keeps each distance tile in VMEM and maintains the
-running top-K there, so HBM traffic is O(Q·K + N·3) instead of O(Q·N).
+Used for the no-radius searches (PointNet++ FP 3-NN interpolation, exact
+kNN grouping): the XLA blocked path materializes (Q, block) distance tiles
+in HBM between the matmul and the top-k (~15 ms per call at lidar scale);
+here each tile lives in VMEM and the running top-K is maintained there, so
+HBM traffic is O(Q·K + N·3).
 
-Strategy per grid step (one tile of TILE_Q queries):
-  * load the query tile (VMEM), loop over candidate blocks of TILE_N points
-  * distances via jnp.dot on the MXU (f32)
-  * merge into the running (TILE_Q, K) best set with K rounds of masked
-    argmin extraction on the VPU (K is small: 3..64)
-
-Exact (no hashing) — 2·Q·N·3 FLOPs ride the MXU, which at lidar scale
-(N≈2^15) is far below the memory-bound cost of the unfused path.
+Mosaic constraints shape the implementation: no dynamic_update_slice on
+values (slot writes use iota==j selects), no sort (merging uses K rounds of
+masked argmin over the 2K union).
 """
 
 from __future__ import annotations
@@ -25,61 +20,59 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_INF = 1e30  # python float: pallas kernels cannot capture traced consts
+_INF = 1e30
+
+
+def _extract_rounds(d, i, k, out_w):
+    """k rounds of argmin-extraction from (TQ, W) candidates -> (TQ, out_w)."""
+    tq, w = d.shape
+    col = jax.lax.broadcasted_iota(jnp.int32, (tq, w), 1)
+    slot = jax.lax.broadcasted_iota(jnp.int32, (tq, out_w), 1)
+
+    def body(j, st):
+        best_d, best_i, d = st
+        m = jnp.min(d, axis=-1, keepdims=True)               # (TQ, 1)
+        am = jnp.argmin(d, axis=-1)                          # (TQ,)
+        mi = jnp.sum(jnp.where(col == am[:, None], i, 0), axis=-1)
+        sel = slot == j
+        best_d = jnp.where(sel, m, best_d)
+        best_i = jnp.where(sel, mi[:, None], best_i)
+        d = jnp.where(col == am[:, None], _INF, d)
+        return best_d, best_i, d
+
+    best_d = jnp.full((tq, out_w), _INF, jnp.float32)
+    best_i = jnp.full((tq, out_w), -1, jnp.int32)
+    best_d, best_i, _ = jax.lax.fori_loop(0, k, body, (best_d, best_i, d))
+    return best_d, best_i
 
 
 def _knn_kernel(q_ref, p_ref, qv_ref, pv_ref, dist_ref, idx_ref, *,
                 k: int, tile_n: int, n_total: int):
-    """One query tile vs all candidate blocks."""
     q = q_ref[:]                      # (TQ, 3) f32
-    qv = qv_ref[:]                    # (TQ, 1) f32 (1.0 valid)
-    tq = q.shape[0]
-    q_sq = jnp.sum(q * q, axis=-1, keepdims=True)  # (TQ, 1)
-
+    qv = qv_ref[:]                    # (TQ, 1)
+    q_sq = jnp.sum(q * q, axis=-1, keepdims=True)
     num_blocks = n_total // tile_n
 
     def body(b, carry):
-        best_d, best_i = carry        # (TQ, K), (TQ, K)
-        p = p_ref[pl.ds(b * tile_n, tile_n), :]       # (TN, 3)
-        pv = pv_ref[pl.ds(b * tile_n, tile_n), :]     # (TN, 1)
-        p_sq = jnp.sum(p * p, axis=-1)[None, :]       # (1, TN)
+        best_d, best_i = carry        # (TQ, K) each
+        p = p_ref[pl.ds(b * tile_n, tile_n), :]
+        pv = pv_ref[pl.ds(b * tile_n, tile_n), :]
+        p_sq = jnp.sum(p * p, axis=-1)[None, :]
         cross = jax.lax.dot_general(
             q, p, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)       # (TQ, TN)
-        d2 = q_sq + p_sq - 2.0 * cross
-        d2 = jnp.maximum(d2, 0.0)
+            preferred_element_type=jnp.float32)
+        d2 = jnp.maximum(q_sq + p_sq - 2.0 * cross, 0.0)
         d2 = jnp.where(pv[:, 0][None, :] > 0, d2, _INF)
         base = b * tile_n
-        cols = jax.lax.broadcasted_iota(jnp.int32, (tq, tile_n), 1) + base
-
-        # Extract the tile's K smallest via K rounds of masked argmin, then
-        # merge with the running best by sorting the 2K union.
-        def extract(j, st):
-            cand_d, cand_i, d2 = st
-            cmin = jnp.min(d2, axis=-1, keepdims=True)            # (TQ, 1)
-            carg = jnp.argmin(d2, axis=-1)                        # (TQ,)
-            cidx = (base + carg).astype(jnp.int32)
-            cand_d = jax.lax.dynamic_update_slice_in_dim(
-                cand_d, cmin, j, 1)
-            cand_i = jax.lax.dynamic_update_slice_in_dim(
-                cand_i, cidx[:, None], j, 1)
-            d2 = jnp.where(cols == cidx[:, None], _INF, d2)       # knock out
-            return cand_d, cand_i, d2
-
-        cand_d0 = jnp.full((tq, k), _INF, jnp.float32)
-        cand_i0 = jnp.full((tq, k), -1, jnp.int32)
-        cand_d, cand_i, _ = jax.lax.fori_loop(
-            0, k, extract, (cand_d0, cand_i0, d2))
-
-        all_d = jnp.concatenate([best_d, cand_d], axis=-1)        # (TQ, 2K)
+        idx_blk = (jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
+                   + base)
+        cand_d, cand_i = _extract_rounds(d2, idx_blk, k, k)
+        all_d = jnp.concatenate([best_d, cand_d], axis=-1)   # (TQ, 2K)
         all_i = jnp.concatenate([best_i, cand_i], axis=-1)
-        order = jnp.argsort(all_d, axis=-1)
-        best_d = jnp.take_along_axis(all_d, order, axis=-1)[:, :k]
-        best_i = jnp.take_along_axis(all_i, order, axis=-1)[:, :k]
-        return best_d, best_i
+        return _extract_rounds(all_d, all_i, k, k)
 
-    init_d = jnp.full((tq, k), _INF, jnp.float32)
-    init_i = jnp.full((tq, k), -1, jnp.int32)
+    init_d = jnp.full(dist_ref.shape, _INF, jnp.float32)
+    init_i = jnp.full(idx_ref.shape, -1, jnp.int32)
     best_d, best_i = jax.lax.fori_loop(0, num_blocks, body, (init_d, init_i))
 
     good = (best_d < _INF) & (qv[:, 0][:, None] > 0)
@@ -94,10 +87,11 @@ def _round_up(x, m):
 @functools.partial(jax.jit, static_argnames=("k", "radius", "tile_q",
                                              "tile_n", "interpret"))
 def knn_pallas_single(query, points, q_valid, p_valid, k: int,
-                      radius: float | None = None, tile_q: int = 256,
-                      tile_n: int = 512, interpret: bool = False):
+                      radius: float | None = None, tile_q: int = 512,
+                      tile_n: int = 2048, interpret: bool = False):
     """Single-sample Pallas kNN: query (Q,3), points (N,3) -> (Q,K) idx/dist."""
     q_n, n = query.shape[0], points.shape[0]
+    tile_n = min(tile_n, _round_up(n, 512))
     qp = _round_up(q_n, tile_q)
     npad = _round_up(n, tile_n)
     query = jnp.pad(query.astype(jnp.float32), ((0, qp - q_n), (0, 0)))

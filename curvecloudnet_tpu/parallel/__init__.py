@@ -8,16 +8,22 @@ the data axis (ICI within a slice, DCN across slices), batch sharded on
 
 from .mesh import (
     batch_sharding,
+    initialize_distributed,
     make_mesh,
+    process_shard_range,
     replicate,
     shard_batch,
+    sharded_eval_step,
     sharded_train_step,
 )
 
 __all__ = [
     "batch_sharding",
+    "initialize_distributed",
     "make_mesh",
+    "process_shard_range",
     "replicate",
     "shard_batch",
+    "sharded_eval_step",
     "sharded_train_step",
 ]

@@ -17,6 +17,29 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def initialize_distributed(coordinator: Optional[str] = None,
+                           num_processes: Optional[int] = None,
+                           process_id: Optional[int] = None) -> int:
+    """Multi-host runtime init (jax.distributed) — no-op for single host.
+
+    Returns this host's process index.  Call before any jax computation on
+    multi-host pods; single-host (or already-initialized) runs fall through.
+    """
+    if num_processes and num_processes > 1:
+        jax.distributed.initialize(coordinator_address=coordinator,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+    return jax.process_index()
+
+
+def process_shard_range(n_items: int) -> range:
+    """This process's contiguous shard of a dataset (multi-host data
+    loading: each host reads only its slice)."""
+    p, np_ = jax.process_index(), jax.process_count()
+    per = -(-n_items // np_)
+    return range(p * per, min((p + 1) * per, n_items))
+
+
 def make_mesh(n_devices: Optional[int] = None,
               axis_names: Sequence[str] = ("dp",),
               shape: Optional[Sequence[int]] = None) -> Mesh:
