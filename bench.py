@@ -33,6 +33,8 @@ def main():
     )
 
     cfg = load_config("configs/nuscenes.yaml")
+    if os.environ.get("BENCH_DTYPE"):
+        cfg["model"]["compute_dtype"] = os.environ["BENCH_DTYPE"]
     spec = parse_model_config(cfg["model"], in_dim=4, n_out=17)
     model = CurveCloudNet(spec, n_points=n_points)
 

@@ -121,7 +121,7 @@ class ObjectPthDataset(CurveDataset):
 
     def __init__(self, path: str, n_pad: int = 2048,
                  task: str = "segmentation", n_classes: int = 50,
-                 normalize: bool = True):
+                 normalize: bool = True, use_curvature: bool = False):
         import torch
 
         blob = torch.load(path, map_location="cpu", weights_only=False)
@@ -131,10 +131,14 @@ class ObjectPthDataset(CurveDataset):
         self._y = np.asarray(blob.y, np.int64) if hasattr(blob, "y") else None
         self._cats = (np.asarray(blob.labels, np.int64)
                       if hasattr(blob, "labels") else None)
+        self._curvature = (np.asarray(blob.curvature, np.float32)
+                           if use_curvature and hasattr(blob, "curvature")
+                           else None)
+        self.use_curvature = self._curvature is not None
         self._ptr = np.concatenate(
             [[0], np.cumsum(np.bincount(self._batch))]).astype(np.int64)
         self.n_pad = n_pad
-        self.in_dim = 3
+        self.in_dim = 6 if self.use_curvature else 3
         self.task = task
         self.n_classes = n_classes
         self.ignore_index = None
@@ -158,8 +162,9 @@ class ObjectPthDataset(CurveDataset):
             labels = np.int32(cat)
         else:
             labels = self._y[s:e].astype(np.int32)
+        feat = (self._curvature[s:e] if self.use_curvature else None)
         return Sample(pos=pos.astype(np.float32), curve_id=cid.astype(np.int32),
-                      feat=None, labels=labels, category=cat)
+                      feat=feat, labels=labels, category=cat)
 
 
 def _object_augment(pos, rng):

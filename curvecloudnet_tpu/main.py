@@ -88,10 +88,11 @@ def load_datasets(cfg):
                  for s in ("train", "val")}
         n_cls = (16 if task == "classification"
                  else T.task_for(src, task).n_out)
+        use_curv = bool(cfg.get("use_curvature", False))
         train = D.ObjectPthDataset(paths["train"], n_pad=n_pad, task=task,
-                                   n_classes=n_cls)
+                                   n_classes=n_cls, use_curvature=use_curv)
         val = D.ObjectPthDataset(paths["val"], n_pad=n_pad, task=task,
-                                 n_classes=n_cls)
+                                 n_classes=n_cls, use_curvature=use_curv)
         return train, val
 
     raise KeyError(f"unknown dataset_source {src!r}")
