@@ -6,9 +6,12 @@ in HBM between the matmul and the top-k (~15 ms per call at lidar scale);
 here each tile lives in VMEM and the running top-K is maintained there, so
 HBM traffic is O(Q·K + N·3).
 
-Mosaic constraints shape the implementation: no dynamic_update_slice on
-values (slot writes use iota==j selects), no sort (merging uses K rounds of
-masked argmin over the 2K union).
+Mosaic constraints shape the implementation:
+  * no value-level dynamic_update_slice  -> slot writes via iota==j selects
+  * no sort                              -> K rounds of masked argmin
+  * a 3-wide dot_general blows the VMEM stack -> planar coordinates and
+    pure-VPU broadcast distances (the FLOPs are trivial; kNN is bandwidth
+    bound, which VMEM residency already solves)
 """
 
 from __future__ import annotations
@@ -48,24 +51,24 @@ def _extract_rounds(d, i, k, out_w):
 
 def _knn_kernel(q_ref, p_ref, qv_ref, pv_ref, dist_ref, idx_ref, *,
                 k: int, tile_n: int, n_total: int):
-    q = q_ref[:]                      # (TQ, 3) f32
-    qv = qv_ref[:]                    # (TQ, 1)
-    q_sq = jnp.sum(q * q, axis=-1, keepdims=True)
+    # q_ref: (3, TQ) planar query coords; p_ref: (3, N) planar points
+    qx = q_ref[0, :][:, None]         # (TQ, 1)
+    qy = q_ref[1, :][:, None]
+    qz = q_ref[2, :][:, None]
+    qv = qv_ref[0, :][:, None]        # (TQ, 1)
     num_blocks = n_total // tile_n
 
     def body(b, carry):
         best_d, best_i = carry        # (TQ, K) each
-        p = p_ref[pl.ds(b * tile_n, tile_n), :]
-        pv = pv_ref[pl.ds(b * tile_n, tile_n), :]
-        p_sq = jnp.sum(p * p, axis=-1)[None, :]
-        cross = jax.lax.dot_general(
-            q, p, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        d2 = jnp.maximum(q_sq + p_sq - 2.0 * cross, 0.0)
-        d2 = jnp.where(pv[:, 0][None, :] > 0, d2, _INF)
+        sl = pl.ds(b * tile_n, tile_n)
+        px = p_ref[0, sl][None, :]    # (1, TN)
+        py = p_ref[1, sl][None, :]
+        pz = p_ref[2, sl][None, :]
+        pv = pv_ref[0, sl][None, :]
+        d2 = (qx - px) ** 2 + (qy - py) ** 2 + (qz - pz) ** 2
+        d2 = jnp.where(pv > 0, d2, _INF)
         base = b * tile_n
-        idx_blk = (jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
-                   + base)
+        idx_blk = (jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1) + base)
         cand_d, cand_i = _extract_rounds(d2, idx_blk, k, k)
         all_d = jnp.concatenate([best_d, cand_d], axis=-1)   # (TQ, 2K)
         all_i = jnp.concatenate([best_i, cand_i], axis=-1)
@@ -75,7 +78,7 @@ def _knn_kernel(q_ref, p_ref, qv_ref, pv_ref, dist_ref, idx_ref, *,
     init_i = jnp.full(idx_ref.shape, -1, jnp.int32)
     best_d, best_i = jax.lax.fori_loop(0, num_blocks, body, (init_d, init_i))
 
-    good = (best_d < _INF) & (qv[:, 0][:, None] > 0)
+    good = (best_d < _INF) & (qv > 0)
     dist_ref[:] = jnp.where(good, jnp.sqrt(best_d), _INF)
     idx_ref[:] = jnp.where(good, best_i, -1)
 
@@ -87,30 +90,32 @@ def _round_up(x, m):
 @functools.partial(jax.jit, static_argnames=("k", "radius", "tile_q",
                                              "tile_n", "interpret"))
 def knn_pallas_single(query, points, q_valid, p_valid, k: int,
-                      radius: float | None = None, tile_q: int = 512,
+                      radius: float | None = None, tile_q: int = 256,
                       tile_n: int = 2048, interpret: bool = False):
     """Single-sample Pallas kNN: query (Q,3), points (N,3) -> (Q,K) idx/dist."""
     q_n, n = query.shape[0], points.shape[0]
     tile_n = min(tile_n, _round_up(n, 512))
     qp = _round_up(q_n, tile_q)
     npad = _round_up(n, tile_n)
-    query = jnp.pad(query.astype(jnp.float32), ((0, qp - q_n), (0, 0)))
-    points = jnp.pad(points.astype(jnp.float32), ((0, npad - n), (0, 0)))
-    qv = jnp.pad(q_valid.astype(jnp.float32), (0, qp - q_n))[:, None]
-    pv = jnp.pad(p_valid.astype(jnp.float32), (0, npad - n))[:, None]
+    qT = jnp.pad(query.astype(jnp.float32),
+                 ((0, qp - q_n), (0, 0))).T          # (3, QP)
+    pT = jnp.pad(points.astype(jnp.float32),
+                 ((0, npad - n), (0, 0))).T          # (3, NP)
+    qv = jnp.pad(q_valid.astype(jnp.float32), (0, qp - q_n))[None, :]
+    pv = jnp.pad(p_valid.astype(jnp.float32), (0, npad - n))[None, :]
 
     kernel = functools.partial(_knn_kernel, k=k, tile_n=tile_n, n_total=npad)
     dist, idx = pl.pallas_call(
         kernel,
         grid=(qp // tile_q,),
         in_specs=[
-            pl.BlockSpec((tile_q, 3), lambda i: (i, 0),
+            pl.BlockSpec((3, tile_q), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((npad, 3), lambda i: (0, 0),
+            pl.BlockSpec((3, npad), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_q, 1), lambda i: (i, 0),
+            pl.BlockSpec((1, tile_q), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((npad, 1), lambda i: (0, 0),
+            pl.BlockSpec((1, npad), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -124,7 +129,7 @@ def knn_pallas_single(query, points, q_valid, p_valid, k: int,
             jax.ShapeDtypeStruct((qp, k), jnp.int32),
         ],
         interpret=interpret,
-    )(query, points, qv, pv)
+    )(qT, pT, qv, pv)
     dist, idx = dist[:q_n], idx[:q_n]
     if radius is not None:
         keep = dist <= radius
