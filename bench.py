@@ -52,32 +52,56 @@ def main():
     jax.block_until_ready(variables)
     init_s = time.time() - t0
 
-    fwd = jax.jit(lambda v, c: model.apply(v, c, train=False,
-                                           key=jax.random.PRNGKey(0))[0])
+    mode = os.environ.get("BENCH_MODE", "eval")
+    if mode == "train":
+        from curvecloudnet_tpu.train import (
+            Batch, LossConfig, build_train_step, create_train_state,
+            make_schedule,
+        )
+
+        labels = jnp.asarray(
+            np.random.default_rng(1).integers(0, 17, (batch, n_points)))
+        b = Batch(cloud=cloud, labels=labels)
+        state = create_train_state(
+            model, b, key, make_schedule(None, 5e-4, 100))
+        step = jax.jit(build_train_step(
+            model, LossConfig(task="segmentation", ignore_index=0,
+                              use_lovasz=True)), donate_argnums=(0,))
+        def once():
+            nonlocal state
+            state, m = step(state, b, key, jnp.float32(0.1))
+            jax.block_until_ready(m["loss"])
+    else:
+        fwd = jax.jit(lambda v, c: model.apply(v, c, train=False,
+                                               key=jax.random.PRNGKey(0))[0])
+
+        def once():
+            out = fwd(variables, cloud)
+            out.block_until_ready()
+
     t0 = time.time()
-    out = fwd(variables, cloud)
-    out.block_until_ready()
+    once()
     compile_s = time.time() - t0
 
     times = []
     for _ in range(iters):
         t0 = time.time()
-        out = fwd(variables, cloud)
-        out.block_until_ready()
+        once()
         times.append(time.time() - t0)
     mean_t = float(np.mean(sorted(times)[: max(1, iters - 2)]))
     n_valid = int(np.asarray(valid).sum())
     pts_per_sec = n_valid / mean_t
 
     result = {
-        "metric": "points/sec/chip (nuScenes lidarseg eval)",
+        "metric": f"points/sec/chip (nuScenes lidarseg {mode})",
         "value": round(pts_per_sec, 1),
         "unit": "points/sec/chip",
         "vs_baseline": round(pts_per_sec / 1e6, 4),
         "detail": {
             "n_points": n_points,
             "batch": batch,
-            "mean_forward_s": round(mean_t, 5),
+            "mode": mode,
+            "mean_step_s": round(mean_t, 5),
             "compile_s": round(compile_s, 1),
             "init_s": round(init_s, 1),
             "device": str(jax.devices()[0]),
