@@ -242,12 +242,20 @@ def evaluate_segmentation(model, variables, dataset, task_info: TaskInfo,
     iou = M.per_class_iu(hist)
     warm = times[min(5, max(0, len(times) - 1)):]
     mean_fwd = float(np.mean(warm)) if warm else float("nan")
+    # device peak-memory hook (reference logs torch.cuda.max_memory_allocated
+    # per val loop, nuscenes_seg.py:111,149)
+    try:
+        stats = jax.devices()[0].memory_stats() or {}
+        peak_gb = stats.get("peak_bytes_in_use", 0) / 1e9
+    except Exception:
+        peak_gb = float("nan")
     result = {
         "miou": float(np.nanmean(iou)),
         "per_class_iou": iou.tolist(),
         "class_names": names,
         "mean_forward_s": mean_fwd,
         "points_per_sec": (n_pts * len(views)) / max(sum(times), 1e-9),
+        "peak_device_memory_gb": peak_gb,
     }
     log(f"mIoU: {result['miou']:.4f}  "
         f"(fwd {mean_fwd*1e3:.1f} ms, {result['points_per_sec']:.0f} pts/s)")

@@ -107,7 +107,8 @@ def mesh_to_curve_cloud(rng: np.random.Generator, verts: np.ndarray,
                         faces: np.ndarray, vert_labels: Optional[np.ndarray],
                         n_points: int = 2048, resolution: int = 512,
                         pattern: str = "random", density: float = 0.25,
-                        antialias: bool = True, with_curvature: bool = False):
+                        antialias: bool = True, with_curvature: bool = False,
+                        random_so3: bool = False):
     """One scan: mesh -> (pos, curve_id, labels[, curvature]).
 
     Mirrors SampleMeshes.meshes2points (sampling.py:43-86) + label transfer
@@ -116,6 +117,14 @@ def mesh_to_curve_cloud(rng: np.random.Generator, verts: np.ndarray,
     # normalize mesh to unit sphere, random camera
     verts = verts - verts.mean(0, keepdims=True)
     verts = verts / max(np.linalg.norm(verts, axis=1).max(), 1e-8)
+    if random_so3:
+        # random SO(3) orientation (reference kortx/generate_shapenet.py:68-99)
+        A = rng.normal(size=(3, 3))
+        q, r = np.linalg.qr(A)
+        q *= np.sign(np.diag(r))
+        if np.linalg.det(q) < 0:
+            q[:, 0] *= -1
+        verts = verts @ q.T
     cam_verts = look_at_camera(
         verts, distance=2.2,
         elev_deg=float(rng.uniform(-30, 45)),
