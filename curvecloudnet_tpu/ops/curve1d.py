@@ -68,9 +68,18 @@ def window_slice(x: jax.Array, idx: jax.Array, half_w: int,
     xp = jnp.pad(x, ((0, 0), (half_w, half_w), (0, 0)),
                  constant_values=fill)
 
+    # one native gather with wide slice_sizes: each output row is a
+    # contiguous (w, c) slice.  (A vmapped dynamic_slice lowers to a
+    # query-count while-loop on TPU — measured ~2x slower than even the
+    # per-element row gather it was meant to replace.)
+    dnums = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1, 2), collapsed_slice_dims=(),
+        start_index_map=(0,))
+
     def one(xrow, irow):
-        return jax.vmap(
-            lambda s: jax.lax.dynamic_slice(xrow, (s, 0), (w, c)))(irow)
+        return jax.lax.gather(
+            xrow, irow[:, None], dnums, slice_sizes=(w, c),
+            mode=jax.lax.GatherScatterMode.CLIP)
 
     out = jax.vmap(one)(xp, idx)  # idx is already the padded-row start
     return out[..., 0] if squeeze else out
