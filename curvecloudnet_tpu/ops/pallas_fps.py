@@ -32,6 +32,7 @@ def _fps_kernel(start_ref, px_ref, py_ref, pz_ref, valid_ref, out_ref,
     flat = sub_iota * lanes + lane_iota
     valid = valid_ref[:] > 0
     mind2_ref[:] = jnp.where(valid, 1e30, _NEG)
+    start = start_ref[pl.program_id(0)]
 
     def body(i, last):
         # select the last-picked point's coords with a masked reduction —
@@ -50,7 +51,7 @@ def _fps_kernel(start_ref, px_ref, py_ref, pz_ref, valid_ref, out_ref,
         out_ref[pl.ds(i, 1), 0] = last[None]
         return nxt
 
-    jax.lax.fori_loop(0, budget, body, start_ref[0])
+    jax.lax.fori_loop(0, budget, body, start)
 
 
 def _round_up(x, m):
@@ -58,37 +59,36 @@ def _round_up(x, m):
 
 
 @functools.partial(jax.jit, static_argnames=("budget", "interpret"))
-def _fps_pallas_single(pos, valid, start, budget: int,
-                       interpret: bool = False):
-    n = pos.shape[0]
+def _fps_pallas_batched(pos, valid, start, budget: int,
+                        interpret: bool = False):
+    """pos (B, N, 3), valid (B, N), start (B,) -> (B, budget) indices.
+
+    One pallas_call with the batch as the grid (a vmapped call would try to
+    slice the SMEM scalar input, which Mosaic rejects)."""
+    b, n, _ = pos.shape
     n_pad = _round_up(max(n, _LANES * 8), _LANES * 8)
     sub = n_pad // _LANES
-    pos = jnp.pad(pos.astype(jnp.float32), ((0, n_pad - n), (0, 0)))
-    v = jnp.pad(valid.astype(jnp.float32), (0, n_pad - n))
-    planes = [pos[:, c].reshape(sub, _LANES) for c in range(3)]
-    vplane = v.reshape(sub, _LANES)
+    pos = jnp.pad(pos.astype(jnp.float32), ((0, 0), (0, n_pad - n), (0, 0)))
+    v = jnp.pad(valid.astype(jnp.float32), ((0, 0), (0, n_pad - n)))
+    planes = [pos[:, :, c].reshape(b, sub, _LANES) for c in range(3)]
+    vplane = v.reshape(b, sub, _LANES)
 
+    plane_spec = pl.BlockSpec((None, sub, _LANES), lambda i: (i, 0, 0),
+                              memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(_fps_kernel, budget=budget, lanes=_LANES),
-        grid=(1,),
+        grid=(b,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((sub, _LANES), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((sub, _LANES), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((sub, _LANES), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((sub, _LANES), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # start (B,) whole array
+            plane_spec, plane_spec, plane_spec, plane_spec,
         ],
-        out_specs=pl.BlockSpec((budget, 1), lambda i: (0, 0),
+        out_specs=pl.BlockSpec((None, budget, 1), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((budget, 1), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((b, budget, 1), jnp.int32),
         scratch_shapes=[pltpu.VMEM((sub, _LANES), jnp.float32)],
         interpret=interpret,
-    )(start.astype(jnp.int32).reshape(1), *planes, vplane)
-    return out[:, 0]
+    )(start.astype(jnp.int32), *planes, vplane)
+    return out[:, :, 0]
 
 
 def fps_pallas(pos, valid, ratio: float, key=None, budget=None,
@@ -112,8 +112,7 @@ def fps_pallas(pos, valid, ratio: float, key=None, budget=None,
             jnp.int32)
         start = jnp.minimum(start, jnp.maximum(lengths - 1, 0))
 
-    sel = jax.vmap(lambda p, v, s: _fps_pallas_single(
-        p, v, s, budget, interpret))(pos, valid, start)
+    sel = _fps_pallas_batched(pos, valid, start, budget, interpret)
 
     slot_valid = (jnp.arange(budget, dtype=jnp.int32)[None, :]
                   < k_per_sample[:, None])
