@@ -111,38 +111,47 @@ def make_tta_eval(model, n_views_full: bool = True):
     return jax.jit(fwd)
 
 
-def make_batched_tta_eval(model):
-    """All 12 TTA views of a (B=1) cloud as ONE batched forward.
+def make_batched_tta_eval(model, views_per_call: int = 4):
+    """The 12 TTA views of a (B=1) cloud as view-batched forwards.
 
-    Expanding views into the batch axis amortizes every per-dispatch fixed
-    cost (weight staging, sampler loops) 12x vs the reference's sequential
-    TTA loop (nuscenes_seg.py:91-106).  Returns fn(variables, cloud) ->
-    (mean_logits (1, N, C), out_valid (1, N)).
+    Expanding views into the batch axis amortizes per-dispatch fixed costs
+    vs the reference's sequential TTA loop (nuscenes_seg.py:91-106); views
+    are chunked (default 4/call) to bound activation memory at lidar scale.
+    Returns fn(variables, cloud) -> (mean_logits (1, N, C), valid (1, N)).
     """
-    flips = jnp.asarray(TTA_FLIPS)          # (4, 2)
-    scales = jnp.asarray(TTA_SCALES)        # (3,)
-    fs = jnp.stack([jnp.repeat(flips, 3, axis=0),
-                    jnp.tile(scales, 4)[:, None] * jnp.ones((12, 2))],
-                   axis=-1)  # (12, 2, 2): [:, :, 0]=flip, [:, :, 1]=scale
+    v = views_per_call
+    all_fs = np.stack(
+        [np.array([[f[0], f[1]] for f in TTA_FLIPS for _ in TTA_SCALES],
+                  np.float32),
+         np.array([[s, s] for _ in TTA_FLIPS for s in TTA_SCALES],
+                  np.float32)], axis=-1)  # (12, 2, 2)
+    assert 12 % v == 0
 
-    def fwd(variables, cloud):
-        xy = (cloud.pos[..., :2] * fs[:, None, :, 0]
-              * fs[:, None, :, 1])          # (12, N, 2)
+    def fwd_chunk(variables, cloud, fs):
+        xy = cloud.pos[..., :2] * fs[:, None, :, 0] * fs[:, None, :, 1]
         pos = jnp.concatenate(
             [xy, jnp.broadcast_to(cloud.pos[..., 2:],
-                                  (12,) + cloud.pos.shape[1:2] + (1,))],
+                                  (v,) + cloud.pos.shape[1:2] + (1,))],
             axis=-1)
         rep = lambda a: (None if a is None else  # noqa: E731
-                         jnp.broadcast_to(a[0][None],
-                                          (12,) + a.shape[1:]))
+                         jnp.broadcast_to(a[0][None], (v,) + a.shape[1:]))
         c = cloud.replace(pos=pos, x=rep(cloud.x), valid=rep(cloud.valid),
                           curve_id=rep(cloud.curve_id))
         logits, out_valid = model.apply(variables, c, train=False,
                                         key=jax.random.PRNGKey(0))
-        return (jnp.mean(logits, axis=0, keepdims=True),
-                out_valid[:1])
+        return jnp.sum(logits, axis=0, keepdims=True), out_valid[:1]
 
-    return jax.jit(fwd)
+    fwd_chunk = jax.jit(fwd_chunk)
+
+    def fwd(variables, cloud):
+        total, out_valid = None, None
+        for s in range(0, 12, v):
+            fs = jnp.asarray(all_fs[s:s + v])
+            part, out_valid = fwd_chunk(variables, cloud, fs)
+            total = part if total is None else total + part
+        return total / 12.0, out_valid
+
+    return fwd
 
 
 def dump_submission(mean_logits, valid, metas, outdir: str):
