@@ -117,10 +117,12 @@ def knn_1d_group_subset(idx: jax.Array, idx_valid: jax.Array,
     in_range = (cand >= 0) & (cand < n)
     cand_safe = jnp.clip(cand, 0, n - 1)
 
-    cid = segments.padded_curve_id(curve_id, valid)
-    cid_q = gather_rows(cid, idx)  # (B, M)
-    cid_c = jax.vmap(lambda c, i: c[i])(cid, cand_safe)  # (B, M, W)
-    mask = in_range & (cid_q[:, :, None] == cid_c) & idx_valid[:, :, None]
+    # curves are contiguous: same-curve iff within [start, end] of the
+    # query's curve — per-query lookups, no per-candidate gathers
+    s_q = gather_rows(segments.curve_start_index(curve_id, valid), idx)
+    e_q = gather_rows(segments.curve_end_index(curve_id, valid), idx)
+    mask = (in_range & (cand >= s_q[:, :, None]) & (cand <= e_q[:, :, None])
+            & idx_valid[:, :, None])
 
     # keep only the first k valid in near-to-far order (point_ops.py:133)
     keep = jnp.cumsum(mask.astype(jnp.int32), axis=-1) <= k
@@ -152,12 +154,13 @@ def radius_1d_group_subset(pos: jax.Array, idx: jax.Array,
     in_range = (cand >= 0) & (cand < n)
     cand_safe = jnp.clip(cand, 0, n - 1)
 
-    cid = segments.padded_curve_id(curve_id, valid)
-    cid_q = gather_rows(cid, idx)
-    # contiguous window slices instead of per-element row gathers
-    perm = _interleave_perm(window)
-    cid_c = window_slice(cid, idx, window, fill=-7)[:, :, perm]
-    mask = in_range & (cid_q[:, :, None] == cid_c) & idx_valid[:, :, None]
+    # same-curve membership without per-candidate gathers: curves are
+    # contiguous, so candidate j shares the query's curve iff
+    # start_of_curve[idx] <= j <= end_of_curve[idx] (per-QUERY lookups only)
+    s_q = gather_rows(segments.curve_start_index(curve_id, valid), idx)
+    e_q = gather_rows(segments.curve_end_index(curve_id, valid), idx)
+    mask = (in_range & (cand >= s_q[:, :, None]) & (cand <= e_q[:, :, None])
+            & idx_valid[:, :, None])
 
     k_q = gather_rows(per_pt_k, idx)  # (B, M) per-query neighbor budget
     keep = jnp.cumsum(mask.astype(jnp.float32), axis=-1) <= k_q[:, :, None]

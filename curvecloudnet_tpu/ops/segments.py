@@ -123,6 +123,14 @@ def curve_start_index(curve_id: jax.Array, valid: jax.Array) -> jax.Array:
     return segment_broadcast_first(iota, starts)
 
 
+def curve_end_index(curve_id: jax.Array, valid: jax.Array) -> jax.Array:
+    """(B, N) int32 — index (along N) of the last point of each point's curve."""
+    n = curve_id.shape[-1]
+    iota = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), curve_id.shape)
+    ends = curve_ends(curve_id, valid)
+    return segment_broadcast_last(iota, ends)
+
+
 def edge_lengths(pos: jax.Array, curve_id: jax.Array,
                  valid: jax.Array) -> jax.Array:
     """(B, N) — length of the polyline edge *ending* at each point.
