@@ -141,7 +141,11 @@ class CurveSAStep(nn.Module):
     step: StepSpec
     dims: Tuple[int, ...]
     budget: int
-    window: int = 32  # static candidate half-window for the geodesic group
+
+    @property
+    def window(self) -> int:
+        # static candidate half-window for the geodesic group (config knob)
+        return self.step.curve_window
 
     @nn.compact
     def __call__(self, cloud: Cloud, *, train=False, bn_momentum=0.1,

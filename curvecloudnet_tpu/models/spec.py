@@ -72,6 +72,10 @@ class StepSpec:
     act: Optional[str] = None
     # TPU-native static output budget (fraction of the step's input row size)
     budget_ratio: Optional[float] = None
+    # static half-window for geodesic (along-curve) grouping; the reference
+    # sizes its window dynamically per curve (point_ops.py:165-167), so this
+    # caps the per-point neighbor count at 2*curve_window+1 candidates
+    curve_window: int = 32
 
     def __post_init__(self):
         if self.name not in STEP_NAMES:
@@ -162,7 +166,7 @@ _STEP_OVERRIDE_KEYS = (
     "with_xyz", "with_diff", "aggr_type", "downsample_type",
     "curve_fps_arclen", "use_curve_fps", "voxel_size", "normalize_radius",
     "use_fast_knn", "use_sparse_feat_agg", "plain_last", "pooling", "act",
-    "budget_ratio",
+    "budget_ratio", "curve_window",
 )
 
 
