@@ -277,6 +277,47 @@ class EdgeConvStep(nn.Module):
     step: StepSpec
     dims: Tuple[int, ...]
 
+    def _try_fused(self, x, xj, nbr_mask, train):
+        """Eval-only fused message-MLP+max kernel (ops/pallas_edge.py).
+
+        Applies when aggregation is max and BN statistics are frozen; the
+        whole Dense->BN->ReLU->...->Dense->masked-max pipeline runs in VMEM
+        instead of round-tripping (B, N, K, H) intermediates through HBM.
+        """
+        import os
+
+        step = self.step
+        if (train or self.is_initializing() or step.aggr_type != "max"
+                or jax.default_backend() in ("cpu",)
+                or os.environ.get("CCN_FUSED_EDGE", "1") == "0"):
+            return None
+        try:
+            p = self.variables["params"]["nn"]
+            bs = self.variables["batch_stats"]["nn"]
+        except (KeyError, AttributeError):
+            return None
+        from ..ops import pallas_edge
+
+        n_layers = len(self.dims) - 1
+        weights, biases = [], []
+        for li in range(n_layers):
+            lp = p[f"lin_{li}"]
+            w = lp["kernel"]
+            b = lp.get("bias", jnp.zeros((w.shape[1],), w.dtype))
+            if li < n_layers - 1:
+                nrm, st = p[f"norm_{li}"], bs[f"norm_{li}"]
+                w, b = pallas_edge.fold_batchnorm(
+                    w, b, nrm["scale"], nrm["bias"], st["mean"], st["var"])
+            if li == 0 and (step.name != "sgcnn"
+                            or step.use_sparse_feat_agg):
+                # fold the slow-path message order [x_i, x_j - x_i]
+                t = pallas_edge.slow_order_transform(x.shape[-1])
+                w = jnp.asarray(t) @ w
+            weights.append(w)
+            biases.append(b)
+        return pallas_edge.fused_edge_mlp_max(xj, x, nbr_mask, weights,
+                                              biases)
+
     @nn.compact
     def __call__(self, cloud: Cloud, *, train=False, bn_momentum=0.1,
                  key=None) -> Cloud:
@@ -302,6 +343,11 @@ class EdgeConvStep(nn.Module):
                 nbr_idx = neighbors.add_self_loops(nbr_idx, cloud.valid)
         nbr_mask = nbr_idx >= 0
         xj = neighbors.gather_neighbors(x, nbr_idx)
+
+        fused = self._try_fused(x, xj, nbr_mask, train)
+        if fused is not None:
+            return cloud.with_features(fused * cloud.valid[..., None])
+
         xi = x[:, :, None, :]
         if step.name == "sgcnn" and not step.use_sparse_feat_agg:
             msg = jnp.concatenate([xj, xi - xj], axis=-1)
