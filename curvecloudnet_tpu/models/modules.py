@@ -287,9 +287,13 @@ class EdgeConvStep(nn.Module):
         import os
 
         step = self.step
+        # Off by default: measured 154 vs 149 ms on v5e at N=32k — the
+        # per-neighbor fori_loop of small matmuls loses to XLA's single
+        # batched matmul despite saving the HBM round-trips.  Kept as
+        # groundwork for a gather-in-kernel version.
         if (train or self.is_initializing() or step.aggr_type != "max"
                 or jax.default_backend() in ("cpu",)
-                or os.environ.get("CCN_FUSED_EDGE", "1") == "0"):
+                or os.environ.get("CCN_FUSED_EDGE", "0") != "1"):
             return None
         try:
             p = self.variables["params"]["nn"]

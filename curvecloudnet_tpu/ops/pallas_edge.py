@@ -24,22 +24,28 @@ MAX_FILL = -1e2  # reference dgcnn.py:188
 
 
 def _edge_kernel(xj_ref, xi_ref, mask_ref, *rest, k: int, n_layers: int):
+    # xj_ref: (K, TN, C) neighbor planes, mask_ref: (K, TN, 1).  A fori_loop
+    # over K (dynamic index on the untiled leading dim) keeps the Mosaic
+    # stack at one iteration's intermediates; a static unroll blew VMEM, and
+    # (TN, K*C) <-> (TN*K, C) shape casts are unsupported.
     w_refs = rest[:-1][0::2]
     b_refs = rest[:-1][1::2]
     out_ref = rest[-1]
-    tn = xi_ref.shape[0]
-    c = xi_ref.shape[1]
-    xj = xj_ref[:].reshape(tn * k, c)    # (TN*K, C)
-    xi_rep = jnp.repeat(xi_ref[:], k, axis=0)
-    h = jnp.concatenate([xj, xi_rep - xj], axis=-1)  # (TN*K, 2C)
-    for li in range(n_layers):
-        h = jnp.dot(h, w_refs[li][:], preferred_element_type=jnp.float32)
-        h = h + b_refs[li][:]
-        if li < n_layers - 1:            # hidden layers: folded BN + ReLU
-            h = jnp.maximum(h, 0.0)
-    o = h.reshape(tn, k, -1)
-    m = mask_ref[:].reshape(tn, k, 1) > 0
-    out_ref[:] = jnp.max(jnp.where(m, o, MAX_FILL), axis=1)
+    xi = xi_ref[:]
+
+    def body(kk, acc):
+        xj = xj_ref[kk]
+        h = jnp.concatenate([xj, xi - xj], axis=-1)  # (TN, 2C)
+        for li in range(n_layers):
+            h = jnp.dot(h, w_refs[li][:], preferred_element_type=jnp.float32)
+            h = h + b_refs[li][:]
+            if li < n_layers - 1:        # hidden layers: folded BN + ReLU
+                h = jnp.maximum(h, 0.0)
+        m = mask_ref[kk] > 0             # (TN, 1)
+        return jnp.where(m, jnp.maximum(acc, h), acc)
+
+    out_ref[:] = jax.lax.fori_loop(
+        0, k, body, jnp.full(out_ref.shape, MAX_FILL, jnp.float32))
 
 
 def _round_up(x, m):
@@ -48,20 +54,26 @@ def _round_up(x, m):
 
 @functools.partial(jax.jit, static_argnames=("tile_n", "interpret"))
 def fused_edge_mlp_max_single(xj, xi, mask, weights, biases,
-                              tile_n: int = 256, interpret: bool = False):
+                              tile_n: int | None = None,
+                              interpret: bool = False):
     """One sample: xj (N, K, C), xi (N, C), mask (N, K) -> (N, O).
 
     weights: tuple of (in, out) matrices with BN folded into hidden layers;
     biases: matching (out,) vectors (zeros where the layer has none).
     """
     n, k, c = xj.shape
+    if tile_n is None:
+        # keep the (K, TN, C) block (+double buffering) under ~4 MB of VMEM
+        budget = 4 * 1024 * 1024 // (k * c * 4 * 2)
+        tile_n = max(64, min(512, (budget // 64) * 64))
     n_layers = len(weights)
     o = weights[-1].shape[1]
     np_ = _round_up(n, tile_n)
-    xj = jnp.pad(xj.astype(jnp.float32),
-                 ((0, np_ - n), (0, 0), (0, 0))).reshape(np_, k * c)
+    xj = jnp.moveaxis(xj.astype(jnp.float32), 1, 0)  # (K, N, C)
+    xj = jnp.pad(xj, ((0, 0), (0, np_ - n), (0, 0)))
     xi = jnp.pad(xi.astype(jnp.float32), ((0, np_ - n), (0, 0)))
-    mask = jnp.pad(mask.astype(jnp.float32), ((0, np_ - n), (0, 0)))
+    mask = jnp.pad(mask.astype(jnp.float32).T[:, :, None],
+                   ((0, 0), (0, np_ - n), (0, 0)))  # (K, N, 1)
 
     wb_specs, wb_args = [], []
     for w, b in zip(weights, biases):
@@ -77,11 +89,11 @@ def fused_edge_mlp_max_single(xj, xi, mask, weights, biases,
         functools.partial(_edge_kernel, k=k, n_layers=n_layers),
         grid=(np_ // tile_n,),
         in_specs=[
-            pl.BlockSpec((tile_n, k * c), lambda i: (i, 0),
+            pl.BlockSpec((k, tile_n, c), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_n, c), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_n, k), lambda i: (i, 0),
+            pl.BlockSpec((k, tile_n, 1), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
         ] + wb_specs,
         out_specs=pl.BlockSpec((tile_n, o), lambda i: (i, 0),
