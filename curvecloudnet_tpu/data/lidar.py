@@ -289,6 +289,28 @@ class SemNuScenes(CurveDataset):
         self.pairs = self._build_index()
 
     def _build_index(self):
+        import pickle
+
+        # preferred: the reference's nuscenes_infos_{split}.pkl index
+        # (nuscenes_dataset.py:66-74) — works without the devkit
+        pkl = os.path.join(self.data_path,
+                           f"nuscenes_infos_{self.split}.pkl")
+        if os.path.exists(pkl):
+            with open(pkl, "rb") as f:
+                infos = pickle.load(f)
+            if isinstance(infos, dict):
+                infos = infos.get("infos", infos)
+            pairs = []
+            for info in infos:
+                lp = os.path.join(self.data_path,
+                                  *info["lidar_path"].split("/")[-3:])
+                seg = info.get("lidarseg_path")
+                if seg:
+                    seg = os.path.join(self.data_path, seg)
+                pairs.append((lp, seg))
+            if pairs and any(p[1] for p in pairs):
+                return pairs
+            # fall through to devkit/glob to resolve seg files
         try:
             from nuscenes import NuScenes  # optional devkit
 

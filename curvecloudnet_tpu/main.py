@@ -269,6 +269,9 @@ def main(cfg: dict) -> Optional[float]:
             result = run_eval(model, variables, val_ds, info, cfg)
             score = score_of(result)
             logger.log({"score": score, "epoch": epoch}, step=step_count)
+            # reference 'Median Top 5 IOU' (nuscenes_seg.py:159-161)
+            logger.log({"median_top5_score": logger.median_top_k("score")},
+                       step=step_count)
             if score > max_score:
                 max_score = score
                 ckpt.save_checkpoint(outdir, f"best_epoch{epoch}", state)
