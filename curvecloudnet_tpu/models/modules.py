@@ -295,6 +295,9 @@ class EdgeConvStep(nn.Module):
                 or jax.default_backend() in ("cpu",)
                 or os.environ.get("CCN_FUSED_EDGE", "0") != "1"):
             return None
+        # wide layers cannot hold weights + double-buffered blocks in VMEM
+        if x.shape[-1] > 300 or max(self.dims) > 512:
+            return None
         try:
             p = self.variables["params"]["nn"]
             bs = self.variables["batch_stats"]["nn"]

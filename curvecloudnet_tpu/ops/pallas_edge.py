@@ -24,28 +24,24 @@ MAX_FILL = -1e2  # reference dgcnn.py:188
 
 
 def _edge_kernel(xj_ref, xi_ref, mask_ref, *rest, k: int, n_layers: int):
-    # xj_ref: (K, TN, C) neighbor planes, mask_ref: (K, TN, 1).  A fori_loop
-    # over K (dynamic index on the untiled leading dim) keeps the Mosaic
-    # stack at one iteration's intermediates; a static unroll blew VMEM, and
-    # (TN, K*C) <-> (TN*K, C) shape casts are unsupported.
+    # xj_ref: (K, TN, C) neighbor planes, mask_ref: (K, TN, 1).  One 3D
+    # dot_general over all K planes (Mosaic cannot re-layout
+    # (TN, K*C) <-> (TN*K, C), and a per-K loop of small matmuls serializes).
     w_refs = rest[:-1][0::2]
     b_refs = rest[:-1][1::2]
     out_ref = rest[-1]
-    xi = xi_ref[:]
-
-    def body(kk, acc):
-        xj = xj_ref[kk]
-        h = jnp.concatenate([xj, xi - xj], axis=-1)  # (TN, 2C)
-        for li in range(n_layers):
-            h = jnp.dot(h, w_refs[li][:], preferred_element_type=jnp.float32)
-            h = h + b_refs[li][:]
-            if li < n_layers - 1:        # hidden layers: folded BN + ReLU
-                h = jnp.maximum(h, 0.0)
-        m = mask_ref[kk] > 0             # (TN, 1)
-        return jnp.where(m, jnp.maximum(acc, h), acc)
-
-    out_ref[:] = jax.lax.fori_loop(
-        0, k, body, jnp.full(out_ref.shape, MAX_FILL, jnp.float32))
+    xj = xj_ref[:]                       # (K, TN, C)
+    xi = xi_ref[:][None]                 # (1, TN, C)
+    h = jnp.concatenate([xj, xi - xj], axis=-1)  # (K, TN, 2C)
+    for li in range(n_layers):
+        h = jax.lax.dot_general(
+            h, w_refs[li][:], (((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)   # (K, TN, out)
+        h = h + b_refs[li][:][None]
+        if li < n_layers - 1:            # hidden layers: folded BN + ReLU
+            h = jnp.maximum(h, 0.0)
+    m = mask_ref[:] > 0                  # (K, TN, 1)
+    out_ref[:] = jnp.max(jnp.where(m, h, MAX_FILL), axis=0)
 
 
 def _round_up(x, m):
@@ -63,8 +59,9 @@ def fused_edge_mlp_max_single(xj, xi, mask, weights, biases,
     """
     n, k, c = xj.shape
     if tile_n is None:
-        # keep the (K, TN, C) block (+double buffering) under ~4 MB of VMEM
-        budget = 4 * 1024 * 1024 // (k * c * 4 * 2)
+        # keep the (K, TN, C) block (+double buffering) well under VMEM: the
+        # 3D pipeline holds ~3 same-shaped intermediates on the stack too
+        budget = 2 * 1024 * 1024 // (k * c * 4 * 2)
         tile_n = max(64, min(512, (budget // 64) * 64))
     n_layers = len(weights)
     o = weights[-1].shape[1]
