@@ -33,8 +33,9 @@ def main():
     )
 
     cfg = load_config("configs/nuscenes.yaml")
-    if os.environ.get("BENCH_DTYPE"):
-        cfg["model"]["compute_dtype"] = os.environ["BENCH_DTYPE"]
+    # bfloat16 matmul compute (f32 params/statistics) is standard TPU
+    # practice; BENCH_DTYPE=float32 reproduces the strict-f32 number.
+    cfg["model"]["compute_dtype"] = os.environ.get("BENCH_DTYPE", "bfloat16")
     spec = parse_model_config(cfg["model"], in_dim=4, n_out=17)
     model = CurveCloudNet(spec, n_points=n_points)
 

@@ -251,8 +251,12 @@ def evaluate_segmentation(model, variables, dataset, task_info: TaskInfo,
     else:
         names = task_info.class_names
     iou = M.per_class_iu(hist)
+    # skip warm-up/compile iterations like the reference (nuscenes_seg.py:148)
     warm = times[min(5, max(0, len(times) - 1)):]
     mean_fwd = float(np.mean(warm)) if warm else float("nan")
+    pts_per_fwd = (n_pts * len(views)) / max(len(times), 1)
+    points_per_sec = (pts_per_fwd / mean_fwd if warm and mean_fwd > 0
+                      else float("nan"))
     # device peak-memory hook (reference logs torch.cuda.max_memory_allocated
     # per val loop, nuscenes_seg.py:111,149)
     try:
@@ -265,7 +269,7 @@ def evaluate_segmentation(model, variables, dataset, task_info: TaskInfo,
         "per_class_iou": iou.tolist(),
         "class_names": names,
         "mean_forward_s": mean_fwd,
-        "points_per_sec": (n_pts * len(views)) / max(sum(times), 1e-9),
+        "points_per_sec": points_per_sec,
         "peak_device_memory_gb": peak_gb,
     }
     log(f"mIoU: {result['miou']:.4f}  "
