@@ -1,0 +1,66 @@
+"""kNN interpolation vs a NumPy oracle (PointNet++ FP semantics)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from curvecloudnet_tpu.ops import interpolate
+
+
+def np_knn_interpolate(x, pos_src, pos_dst, k=3):
+    """Oracle: 3-NN inverse-d^2 weighted mean (point_ops.py:293-341)."""
+    out = np.zeros((len(pos_dst), x.shape[1]), np.float64)
+    for i, p in enumerate(pos_dst):
+        d2 = ((pos_src - p) ** 2).sum(1)
+        nn = np.argsort(d2)[:k]
+        w = 1.0 / np.maximum(d2[nn], 1e-16)
+        out[i] = (x[nn] * w[:, None]).sum(0) / w.sum()
+    return out
+
+
+def test_knn_interpolate_matches_oracle(rng):
+    m, n, c = 50, 120, 7
+    pos_src = rng.normal(size=(m, 3)).astype(np.float32)
+    pos_dst = rng.normal(size=(n, 3)).astype(np.float32)
+    x = rng.normal(size=(m, c)).astype(np.float32)
+    got = interpolate.knn_interpolate(
+        jnp.asarray(x)[None], jnp.asarray(pos_src)[None],
+        jnp.ones((1, m), bool), jnp.asarray(pos_dst)[None],
+        jnp.ones((1, n), bool), k=3)
+    want = np_knn_interpolate(x, pos_src, pos_dst)
+    np.testing.assert_allclose(np.asarray(got)[0], want, rtol=2e-3, atol=2e-3)
+
+
+def test_knn_interpolate_ignores_invalid_sources(rng):
+    m, n, c = 40, 30, 4
+    pos_src = rng.normal(size=(1, m, 3)).astype(np.float32)
+    pos_dst = rng.normal(size=(1, n, 3)).astype(np.float32)
+    x = rng.normal(size=(1, m, c)).astype(np.float32)
+    sv = np.zeros((1, m), bool)
+    sv[:, :25] = True
+    got = interpolate.knn_interpolate(
+        jnp.asarray(x), jnp.asarray(pos_src), jnp.asarray(sv),
+        jnp.asarray(pos_dst), jnp.ones((1, n), bool), k=3)
+    want = np_knn_interpolate(x[0, :25], pos_src[0, :25], pos_dst[0])
+    np.testing.assert_allclose(np.asarray(got)[0], want, rtol=2e-3, atol=2e-3)
+
+
+def test_knn_interpolate_1d_exact_on_kept_points(rng):
+    """A kept point's own interpolation is dominated by itself (d=0)."""
+    from curvecloudnet_tpu.ops import interpolate as I
+
+    n = 32
+    pos = np.cumsum(rng.normal(scale=0.1, size=(1, n, 3)),
+                    axis=1).astype(np.float32)
+    cid = np.zeros((1, n), np.int32)
+    valid = np.ones((1, n), bool)
+    kept_idx = np.arange(0, n, 4, dtype=np.int32)[None]
+    kept_valid = np.ones_like(kept_idx, bool)
+    xk = rng.normal(size=(1, len(kept_idx[0]), 5)).astype(np.float32)
+    out = I.knn_interpolate_1d(jnp.asarray(xk), jnp.asarray(kept_idx),
+                               jnp.asarray(kept_valid), jnp.asarray(pos),
+                               jnp.asarray(cid), jnp.asarray(valid), k=3)
+    out = np.asarray(out)
+    for s, src in enumerate(kept_idx[0]):
+        np.testing.assert_allclose(out[0, src], xk[0, s], rtol=1e-4,
+                                   atol=1e-4)
