@@ -31,10 +31,6 @@ from .layers import MLP, MaskedBatchNorm, leaky_relu
 from .spec import ModelSpec, StepSpec
 
 
-class StepCtx(nn.Module):
-    """Mixin carrying shared step context."""
-
-
 def _dt(spec: ModelSpec):
     """Matmul compute dtype from the spec (params remain float32)."""
     return jnp.bfloat16 if spec.compute_dtype == "bfloat16" else None
