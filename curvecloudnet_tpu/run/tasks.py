@@ -238,7 +238,7 @@ def evaluate_segmentation(model, variables, dataset, task_info: TaskInfo,
         if task_info.metric_ignore is not None:
             lv = lv & (batch.labels != task_info.metric_ignore)
         hist = hist + M.masked_hist(pred, batch.labels, lv, n_cls)
-        n_pts += int(np.asarray(batch.cloud.valid).sum())
+        n_pts += int(np_batch["valid"].sum())  # host-side: no device sync
         if test_mode and outdir is not None:
             dump_submission(mean_logits, batch.cloud.valid, metas, outdir)
 
