@@ -102,8 +102,12 @@ def knn(query: jax.Array, points: jax.Array, q_valid: jax.Array,
     if backend == "grid" and radius is not None:
         from . import grid_knn as grid_mod
 
+        # per-cell candidate cap scales with k: cap=16 measured 82% exact-set
+        # recall at the flagship's r=0.08/k=20 on dense lidar; 1.6k keeps it
+        # >94% (tests/test_grid_recall.py) at ~2x the table-fetch cost
+        cap = max(16, int(1.6 * k))
         return grid_mod.grid_knn(query, points, q_valid, p_valid, k,
-                                 radius=float(radius))
+                                 radius=float(radius), cap=cap)
     if backend == "pallas":
         from . import pallas_knn
 
