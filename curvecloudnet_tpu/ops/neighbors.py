@@ -29,12 +29,19 @@ _INF = jnp.float32(1e30)
 KNN_BACKEND = os.environ.get("CCN_KNN_BACKEND", "auto")
 
 
-def _pick_backend(dim: int, radius) -> str:
+def _pick_backend(dim: int, radius, n: int) -> str:
     if KNN_BACKEND != "auto":
         return KNN_BACKEND
     on_accel = jax.default_backend() not in ("cpu",)
     if on_accel and dim == 3:
-        return "grid" if radius is not None else "pallas"
+        # The Pallas brute kernel is EXACT for fixed-radius kNN (the k
+        # nearest within r are a subset of the k nearest overall) and cheap
+        # up to mid-level sizes; the grid's per-cell cap truncates dense
+        # cells (tests/test_grid_recall.py), so reserve it for full-res
+        # rows where brute-force N^2 would dominate.
+        if radius is not None and n > 16384:
+            return "grid"
+        return "pallas"
     return "xla"
 
 
@@ -98,7 +105,7 @@ def knn(query: jax.Array, points: jax.Array, q_valid: jax.Array,
     b, q, _ = query.shape
     n = points.shape[1]
     k = min(k, n)
-    backend = _pick_backend(query.shape[-1], radius)
+    backend = _pick_backend(query.shape[-1], radius, n)
     if backend == "grid" and radius is not None:
         from . import grid_knn as grid_mod
 
