@@ -59,6 +59,11 @@ class CurveCloudNet(nn.Module):
         prop_skips = []            # step indices pushed for skip-connect
         n_now = self.n_points      # current static row size
 
+        # one exact neighbor table per resolution row, shared by every 3D
+        # search at that row (ops/neighbors.py shared_knn_scope)
+        from ..ops import neighbors as _nbrs
+        knn_scope = _nbrs.shared_knn_scope()
+        knn_scope.__enter__()
         for i, step in enumerate(spec.steps):
             dims = spec.input_dim(i)
             input_clouds.append(cloud)
@@ -111,6 +116,7 @@ class CurveCloudNet(nn.Module):
                 down_skips.append(i)
             if step.name in spec.skip_connect_state_store:
                 prop_skips.append(i)
+        knn_scope.__exit__()
 
         x = cloud.x
 

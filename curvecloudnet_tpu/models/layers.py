@@ -74,8 +74,11 @@ class MaskedBatchNorm(nn.Module):
                 ra_mean.value = (1 - momentum) * ra_mean.value + momentum * mean
                 ra_var.value = (1 - momentum) * ra_var.value + momentum * unbiased
 
-        y = (x - mean) * jax.lax.rsqrt(var + self.epsilon)
-        return y * scale + bias
+        # affine math in f32, result cast back to the compute dtype: without
+        # the cast the f32 mean/var broadcast promotes every bf16 activation
+        # to f32, doubling the HBM footprint of each intermediate
+        y = (x.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + self.epsilon)
+        return (y * scale + bias).astype(x.dtype)
 
 
 class MLP(nn.Module):

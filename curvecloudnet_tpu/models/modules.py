@@ -112,11 +112,12 @@ class SAStep(nn.Module):
         down = cloud.gather(idx, idx_valid)
         if step.use_fast_knn:
             radius = step.radius if step.radius is not None else 0.25
-            nbr_idx, _ = neighbors.knn(down.pos, cloud.pos, down.valid,
-                                       cloud.valid, step.knn, radius=radius)
+            nbr_idx, _ = neighbors.subset_knn(cloud.pos, cloud.valid, idx,
+                                              down.valid, step.knn,
+                                              radius=radius)
         elif step.knn is not None:
-            nbr_idx, _ = neighbors.knn(down.pos, cloud.pos, down.valid,
-                                       cloud.valid, step.knn)
+            nbr_idx, _ = neighbors.subset_knn(cloud.pos, cloud.valid, idx,
+                                              down.valid, step.knn)
         else:  # pure ball grouping, reference caps K at 128
             nbr_idx, _ = neighbors.ball_query(down.pos, cloud.pos, down.valid,
                                               cloud.valid, step.radius, 128)
@@ -337,12 +338,12 @@ class EdgeConvStep(nn.Module):
         else:  # sgcnn
             if step.use_sparse_feat_agg:
                 # slow path: exact kNN, no radius cap (dgcnn.py:209-225)
-                nbr_idx, _ = neighbors.knn(cloud.pos, cloud.pos, cloud.valid,
-                                           cloud.valid, step.knn)
+                nbr_idx, _ = neighbors.same_set_knn(cloud.pos, cloud.valid,
+                                                    step.knn)
             else:
                 r = step.radius if step.radius is not None else 1.0
-                nbr_idx, _ = neighbors.knn(cloud.pos, cloud.pos, cloud.valid,
-                                           cloud.valid, step.knn, radius=r)
+                nbr_idx, _ = neighbors.same_set_knn(cloud.pos, cloud.valid,
+                                                    step.knn, radius=r)
                 nbr_idx = neighbors.add_self_loops(nbr_idx, cloud.valid)
         nbr_mask = nbr_idx >= 0
         xj = neighbors.gather_neighbors(x, nbr_idx)

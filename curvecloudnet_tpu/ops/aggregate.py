@@ -33,7 +33,9 @@ def masked_attend(msgs: jax.Array, logits: jax.Array,
                   mask: jax.Array, fill: float = ATTEND_FILL) -> jax.Array:
     """Softmax-attention pooling over the K axis (per output channel)."""
     logits = jnp.where(mask[..., None], logits, fill)
-    w = jax.nn.softmax(logits, axis=-2)
+    # softmax in f32 for stability, weights cast back so a bf16 message
+    # pipeline stays bf16 end-to-end
+    w = jax.nn.softmax(logits.astype(jnp.float32), axis=-2).astype(msgs.dtype)
     return jnp.sum(msgs * w, axis=-2)
 
 

@@ -234,19 +234,36 @@ def knn_1d_group_superset(pos: jax.Array, kept_idx: jax.Array,
     assign = jnp.cumsum(sel, axis=-1)  # (B, N): next kept slot (ref :201-204)
 
     offs = interleaved_offsets(k + 1)  # 2k+3 candidates (ref :207-208)
+    w = k + 1
     cand = assign[:, :, None] + offs[None, None, :]  # slots into kept array
     in_range = (cand >= 0) & (cand < m)
     cand_safe = jnp.clip(cand, 0, m - 1)
 
-    kept_valid_c = jax.vmap(lambda kv, c: kv[c])(kept_valid, cand_safe)
+    # the candidate slots are a CONTIGUOUS window of the kept array, so all
+    # per-candidate lookups come from ONE packed contiguous slice per query
+    # (wide-row reads; v5e charges ~7ns per gathered ROW regardless of
+    # width, so 1 packed slice beats 5 per-field element gathers ~5x)
     cid = segments.padded_curve_id(curve_id, valid)
     kept_cid = gather_rows(cid, kept_idx)  # (B, M)
-    cid_c = jax.vmap(lambda kc, c: kc[c])(kept_cid, cand_safe)
+    kept_pos = gather_rows(pos, kept_idx)  # (B, M, 3)
+    rec = jnp.concatenate(
+        [kept_pos,
+         kept_cid.astype(jnp.float32)[..., None],
+         kept_valid.astype(jnp.float32)[..., None]], axis=-1)  # (B, M, 5)
+    # assign can equal m (query past the last kept slot); one invalid
+    # sentinel row keeps the slice start from clipping (a clipped start
+    # would shift the window and misalign it with `cand`)
+    rec = jnp.pad(rec, ((0, 0), (0, 1), (0, 0)))
+    perm = _interleave_perm(w)  # ascending window order -> interleaved
+    # window_slice expects the PADDED-row start index == center index
+    recw = window_slice(rec, assign, w)[:, :, perm]  # (B, N, 2w+1, 5)
+    cand_pos = recw[..., :3]
+    cid_c = recw[..., 3].astype(jnp.int32)
+    kept_valid_c = recw[..., 4] > 0.5
+
     mask = in_range & kept_valid_c & (cid[:, :, None] == cid_c) & valid[:, :, None]
 
     # Euclidean re-sort near-to-far (ref :230-235)
-    kept_pos = gather_rows(pos, kept_idx)  # (B, M, 3)
-    cand_pos = jax.vmap(lambda kp, c: kp[c])(kept_pos, cand_safe)
     dist = jnp.linalg.norm(cand_pos - pos[:, :, None, :], axis=-1)
     dist = jnp.where(mask, dist, _FAR)
     order = jnp.argsort(dist, axis=-1)

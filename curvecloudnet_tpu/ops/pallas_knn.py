@@ -1,17 +1,31 @@
-"""Pallas TPU kernel: fused masked kNN (unbounded — no radius grid).
+"""Pallas TPU kernel: exact masked kNN with packed extraction + block skipping.
 
-Used for the no-radius searches (PointNet++ FP 3-NN interpolation, exact
-kNN grouping): the XLA blocked path materializes (Q, block) distance tiles
-in HBM between the matmul and the top-k (~15 ms per call at lidar scale);
-here each tile lives in VMEM and the running top-K is maintained there, so
-HBM traffic is O(Q·K + N·3).
+TPU-native replacement for the reference's exact searches (pytorch3d
+``knn_points``, reference src/models/utils/point_ops.py:73-111) and the FRNN
+fixed-radius path (point_ops.py:431-461) at brute-force-viable sizes.  The
+XLA blocked path materializes (Q, block) distance tiles in HBM between the
+matmul and the top-k; here each tile lives in VMEM.
 
-Mosaic constraints shape the implementation:
-  * no value-level dynamic_update_slice  -> slot writes via iota==j selects
-  * no sort                              -> K rounds of masked argmin
-  * a 3-wide dot_general blows the VMEM stack -> planar coordinates and
-    pure-VPU broadcast distances (the FLOPs are trivial; kNN is bandwidth
-    bound, which VMEM residency already solves)
+What makes this version fast (vs. a naive argmin-extraction brute force):
+
+  * **Packed selection.**  Distances are non-negative f32, so their bit
+    patterns order like the values.  Each candidate packs
+    ``(d2_bits & ~(tile_n-1)) | column`` into one int32; a top-k round is
+    then just a lane-min plus one compare-select to eliminate the winner —
+    2 VPU passes instead of ~6 (no argmin, no index gather).  The low
+    ``log2(tile_n)`` mantissa bits of the returned distance are quantized
+    (relative error <= 2^-12 at tile_n=2048); neighbor *selection* is exact
+    up to such near-ties.
+  * **Threshold skipping.**  Each query carries t = min(kth-best-so-far,
+    radius^2).  A candidate block is extracted only when any query in the
+    tile sees d2 < t (a sound skip: otherwise no candidate can change any
+    result).  Blocks are visited near-diagonal-first — scan order is
+    spatially coherent for curve clouds, so t tightens after 1-2 blocks and
+    the remaining blocks cost only the distance pass.
+
+Mosaic constraints shaping the code: no value-level dynamic_update_slice
+(slot writes via iota==j selects), no sort (min-extraction rounds), planar
+coordinates on the VPU (a 3-wide dot_general blows the VMEM stack).
 """
 
 from __future__ import annotations
@@ -24,33 +38,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _INF = 1e30
-
-
-def _extract_rounds(d, i, k, out_w):
-    """k rounds of argmin-extraction from (TQ, W) candidates -> (TQ, out_w)."""
-    tq, w = d.shape
-    col = jax.lax.broadcasted_iota(jnp.int32, (tq, w), 1)
-    slot = jax.lax.broadcasted_iota(jnp.int32, (tq, out_w), 1)
-
-    def body(j, st):
-        best_d, best_i, d = st
-        m = jnp.min(d, axis=-1, keepdims=True)               # (TQ, 1)
-        am = jnp.argmin(d, axis=-1)                          # (TQ,)
-        mi = jnp.sum(jnp.where(col == am[:, None], i, 0), axis=-1)
-        sel = slot == j
-        best_d = jnp.where(sel, m, best_d)
-        best_i = jnp.where(sel, mi[:, None], best_i)
-        d = jnp.where(col == am[:, None], _INF, d)
-        return best_d, best_i, d
-
-    best_d = jnp.full((tq, out_w), _INF, jnp.float32)
-    best_i = jnp.full((tq, out_w), -1, jnp.int32)
-    best_d, best_i, _ = jax.lax.fori_loop(0, k, body, (best_d, best_i, d))
-    return best_d, best_i
+_GOOD_MAX = 9e29  # anything >= this is a fill, not a real distance
 
 
 def _knn_kernel(q_ref, p_ref, qv_ref, pv_ref, dist_ref, idx_ref, *,
-                k: int, tile_n: int, n_total: int):
+                k: int, tile_q: int, tile_n: int, n_total: int,
+                q_total: int, r2init: float):
     # q_ref: (3, TQ) planar query coords; p_ref: (3, N) planar points
     qx = q_ref[0, :][:, None]         # (TQ, 1)
     qy = q_ref[1, :][:, None]
@@ -58,8 +51,76 @@ def _knn_kernel(q_ref, p_ref, qv_ref, pv_ref, dist_ref, idx_ref, *,
     qv = qv_ref[0, :][:, None]        # (TQ, 1)
     num_blocks = n_total // tile_n
 
-    def body(b, carry):
-        best_d, best_i = carry        # (TQ, K) each
+    low_mask = tile_n - 1                       # tile_n is a power of two
+    sent_blk = jnp.int32((0x7F800000 | low_mask))
+    col = jax.lax.broadcasted_iota(jnp.int32, (tile_q, tile_n), 1)
+
+    two_k = 2 * k
+    pw = 1
+    while pw < two_k:
+        pw *= 2
+    pmask = pw - 1
+    sent_mrg = jnp.int32(0x7F800000 | pmask)
+    pos_iota = jax.lax.broadcasted_iota(jnp.int32, (tile_q, two_k), 1)
+    slot = jax.lax.broadcasted_iota(jnp.int32, (tile_q, k), 1)
+
+    # center the visit order on the block "facing" this query tile (scan
+    # order is spatially coherent, so true neighbors cluster there)
+    qstart = pl.program_id(0) * tile_q
+    # (qstart * num_blocks stays well inside int32 — n_total/tile_n <= ~256)
+    center = ((qstart + tile_q // 2) * num_blocks) // q_total
+
+    def extract_block(d2, base, best_d, best_i):
+        bits = jax.lax.bitcast_convert_type(d2, jnp.int32)
+        packed = jnp.bitwise_or(
+            jnp.bitwise_and(bits, jnp.int32(~low_mask)), col)
+
+        def round_body(j, st):
+            cand, packed = st
+            m = jnp.min(packed, axis=-1, keepdims=True)      # (TQ, 1)
+            cand = jnp.where(slot == j, m, cand)
+            packed = jnp.where(packed == m, sent_blk, packed)
+            return cand, packed
+
+        cand = jnp.full((tile_q, k), sent_blk, jnp.int32)
+        cand, _ = jax.lax.fori_loop(0, k, round_body, (cand, packed))
+        cand_d = jax.lax.bitcast_convert_type(
+            jnp.bitwise_and(cand, jnp.int32(~low_mask)), jnp.float32)
+        cand_i = base + jnp.bitwise_and(cand, jnp.int32(low_mask))
+
+        # merge running best with block candidates over 2k lanes
+        all_d = jnp.concatenate([best_d, cand_d], axis=-1)   # (TQ, 2K)
+        all_i = jnp.concatenate([best_i, cand_i], axis=-1)
+        mb = jnp.bitwise_or(
+            jnp.bitwise_and(
+                jax.lax.bitcast_convert_type(all_d, jnp.int32),
+                jnp.int32(~pmask)),
+            pos_iota)
+
+        def merge_body(j, st):
+            new_d, new_i, mb = st
+            m = jnp.min(mb, axis=-1, keepdims=True)          # (TQ, 1)
+            pos = jnp.bitwise_and(m, jnp.int32(pmask))
+            dval = jax.lax.bitcast_convert_type(
+                jnp.bitwise_and(m, jnp.int32(~pmask)), jnp.float32)
+            ival = jnp.sum(jnp.where(pos_iota == pos, all_i, 0),
+                           axis=-1, keepdims=True)
+            sel = slot == j
+            new_d = jnp.where(sel, dval, new_d)
+            new_i = jnp.where(sel, ival, new_i)
+            mb = jnp.where(mb == m, sent_mrg, mb)
+            return new_d, new_i, mb
+
+        new_d = jnp.full((tile_q, k), _INF, jnp.float32)
+        new_i = jnp.full((tile_q, k), -1, jnp.int32)
+        new_d, new_i, _ = jax.lax.fori_loop(0, k, merge_body,
+                                            (new_d, new_i, mb))
+        return new_d, new_i
+
+    def body(s, carry):
+        best_d, best_i, t = carry     # (TQ,K), (TQ,K), (TQ,1)
+        off = (s + 1) // 2 * (1 - 2 * (s % 2))   # 0, +1, -1, +2, -2, ...
+        b = jax.lax.rem(center + off + num_blocks * (s + 1), num_blocks)
         sl = pl.ds(b * tile_n, tile_n)
         px = p_ref[0, sl][None, :]    # (1, TN)
         py = p_ref[1, sl][None, :]
@@ -67,19 +128,29 @@ def _knn_kernel(q_ref, p_ref, qv_ref, pv_ref, dist_ref, idx_ref, *,
         pv = pv_ref[0, sl][None, :]
         d2 = (qx - px) ** 2 + (qy - py) ** 2 + (qz - pz) ** 2
         d2 = jnp.where(pv > 0, d2, _INF)
-        base = b * tile_n
-        idx_blk = (jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1) + base)
-        cand_d, cand_i = _extract_rounds(d2, idx_blk, k, k)
-        all_d = jnp.concatenate([best_d, cand_d], axis=-1)   # (TQ, 2K)
-        all_i = jnp.concatenate([best_i, cand_i], axis=-1)
-        return _extract_rounds(all_d, all_i, k, k)
+        hit = jnp.any(d2 < t)
 
-    init_d = jnp.full(dist_ref.shape, _INF, jnp.float32)
-    init_i = jnp.full(idx_ref.shape, -1, jnp.int32)
-    best_d, best_i = jax.lax.fori_loop(0, num_blocks, body, (init_d, init_i))
+        def with_extract(args):
+            best_d, best_i = args
+            new_d, new_i = extract_block(d2, b * tile_n, best_d, best_i)
+            new_t = jnp.minimum(
+                jnp.max(new_d, axis=-1, keepdims=True), jnp.float32(r2init))
+            new_t = jnp.where(qv > 0, new_t, -_INF)
+            return new_d, new_i, new_t
 
-    good = (best_d < _INF) & (qv > 0)
-    dist_ref[:] = jnp.where(good, jnp.sqrt(best_d), _INF)
+        best_d, best_i, t = jax.lax.cond(
+            hit, with_extract, lambda args: (args[0], args[1], t),
+            (best_d, best_i))
+        return best_d, best_i, t
+
+    init_d = jnp.full((tile_q, k), _INF, jnp.float32)
+    init_i = jnp.full((tile_q, k), -1, jnp.int32)
+    init_t = jnp.where(qv > 0, jnp.float32(r2init), -_INF)
+    best_d, best_i, _ = jax.lax.fori_loop(
+        0, num_blocks, body, (init_d, init_i, init_t))
+
+    good = (best_d < _GOOD_MAX) & (qv > 0)
+    dist_ref[:] = jnp.where(good, jnp.sqrt(jnp.maximum(best_d, 0.0)), _INF)
     idx_ref[:] = jnp.where(good, best_i, -1)
 
 
@@ -87,14 +158,22 @@ def _round_up(x, m):
     return -(-x // m) * m
 
 
+def _pow2_at_least(x, lo, hi):
+    p = lo
+    while p < min(x, hi):
+        p *= 2
+    return p
+
+
 @functools.partial(jax.jit, static_argnames=("k", "radius", "tile_q",
                                              "tile_n", "interpret"))
 def knn_pallas_single(query, points, q_valid, p_valid, k: int,
                       radius: float | None = None, tile_q: int = 256,
-                      tile_n: int = 2048, interpret: bool = False):
+                      tile_n: int | None = None, interpret: bool = False):
     """Single-sample Pallas kNN: query (Q,3), points (N,3) -> (Q,K) idx/dist."""
     q_n, n = query.shape[0], points.shape[0]
-    tile_n = min(tile_n, _round_up(n, 512))
+    if tile_n is None:
+        tile_n = _pow2_at_least(n, 512, 2048)
     qp = _round_up(q_n, tile_q)
     npad = _round_up(n, tile_n)
     qT = jnp.pad(query.astype(jnp.float32),
@@ -104,7 +183,10 @@ def knn_pallas_single(query, points, q_valid, p_valid, k: int,
     qv = jnp.pad(q_valid.astype(jnp.float32), (0, qp - q_n))[None, :]
     pv = jnp.pad(p_valid.astype(jnp.float32), (0, npad - n))[None, :]
 
-    kernel = functools.partial(_knn_kernel, k=k, tile_n=tile_n, n_total=npad)
+    r2init = _INF if radius is None else float(radius) * float(radius)
+    kernel = functools.partial(_knn_kernel, k=k, tile_q=tile_q,
+                               tile_n=tile_n, n_total=npad, q_total=qp,
+                               r2init=r2init)
     dist, idx = pl.pallas_call(
         kernel,
         grid=(qp // tile_q,),
@@ -132,6 +214,8 @@ def knn_pallas_single(query, points, q_valid, p_valid, k: int,
     )(qT, pT, qv, pv)
     dist, idx = dist[:q_n], idx[:q_n]
     if radius is not None:
+        # the kernel's threshold is seeded with radius^2, so beyond-radius
+        # entries are incidental fills — drop them here
         keep = dist <= radius
         idx = jnp.where(keep, idx, -1)
         dist = jnp.where(keep, dist, _INF)

@@ -74,6 +74,8 @@ def main():
     n_points = int(os.environ.get("PROF_POINTS", 32768))
     trace_dir = os.environ.get("PROF_DIR", "/tmp/ccn_trace")
     cfg = load_config("configs/nuscenes.yaml")
+    # match bench.py's default compute dtype so the profile reflects the bench
+    cfg["model"]["compute_dtype"] = os.environ.get("PROF_DTYPE", "bfloat16")
     spec = parse_model_config(cfg["model"], in_dim=4, n_out=17)
     model = CurveCloudNet(spec, n_points=n_points)
     rng = np.random.default_rng(0)
