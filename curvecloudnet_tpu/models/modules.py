@@ -144,9 +144,69 @@ class CurveSAStep(nn.Module):
         # static candidate half-window for the geodesic group (config knob)
         return self.step.curve_window
 
+    def _stream(self, cloud: Cloud, down: Cloud, idx, nbr_mask, local_nn,
+                attend_nn, train, bn_momentum):
+        """Chunked window walk with online-softmax / online-max aggregation.
+
+        Numerically equivalent to the materialized path (same mask fills,
+        softmax reassociated) but never holds a (B, M, 2w+1, C) tensor:
+        the flagship's (16k, 65, 256) intermediates disappear from HBM.
+        """
+        step = self.step
+        w = self.window
+        mask_asc = curve1d.ascending_from_interleaved(nbr_mask, w)
+        pos_p = curve1d.pad_for_window_chunks(cloud.pos, w)
+        x_p = (curve1d.pad_for_window_chunks(cloud.x, w)
+               if cloud.x is not None else None)
+        total = 2 * w + 1
+        chunk = 16
+        b, m = idx.shape
+        out_c = self.dims[-1]
+        f32 = jnp.float32
+        run_max = jnp.full((b, m, out_c), -1e30, f32)
+        denom = jnp.zeros((b, m, out_c), f32)
+        acc = jnp.zeros((b, m, out_c), f32)
+
+        for lo in range(0, total, chunk):
+            sz = min(chunk, total - lo)
+            mask_c = mask_asc[:, :, lo:lo + sz]
+            rel = (curve1d.window_chunk(pos_p, idx, lo, sz)
+                   - down.pos[:, :, None, :])
+            if step.normalize_radius and step.radius:
+                rel = rel / step.radius
+            if x_p is not None:
+                msg = jnp.concatenate(
+                    [curve1d.window_chunk(x_p, idx, lo, sz), rel], axis=-1)
+            else:
+                msg = rel
+            msg = local_nn(msg, mask=mask_c, train=train,
+                           bn_momentum=bn_momentum)
+            if step.aggr_type == "max":
+                hit = jnp.where(mask_c[..., None], msg.astype(f32),
+                                aggregate.MAX_FILL)
+                run_max = jnp.maximum(run_max, jnp.max(hit, axis=2))
+                continue
+            logits = attend_nn(msg, mask=mask_c, train=train,
+                               bn_momentum=bn_momentum)
+            logits = jnp.where(mask_c[..., None], logits.astype(f32),
+                               aggregate.ATTEND_FILL)
+            new_max = jnp.maximum(run_max, jnp.max(logits, axis=2))
+            scale = jnp.exp(run_max - new_max)
+            e = jnp.exp(logits - new_max[:, :, None, :])
+            denom = denom * scale + jnp.sum(e, axis=2)
+            acc = acc * scale + jnp.sum(e * msg.astype(f32), axis=2)
+            run_max = new_max
+
+        dt = _dt(self.spec) or jnp.float32
+        if step.aggr_type == "max":
+            return run_max.astype(dt)
+        return (acc / denom).astype(dt)
+
     @nn.compact
     def __call__(self, cloud: Cloud, *, train=False, bn_momentum=0.1,
                  key=None) -> Cloud:
+        import os
+
         step = self.step
         x = cloud.xyz_concat(step.with_xyz)
         cloud = cloud.with_features(x)
@@ -155,6 +215,24 @@ class CurveSAStep(nn.Module):
         _, nbr_mask = curve1d.radius_1d_group_subset(
             cloud.pos, idx, down.valid, cloud.curve_id, cloud.valid,
             step.radius, self.window)
+        local_nn = MLP(self.dims, act="leaky_relu", use_bias=self.spec.use_bias,
+                       dtype=_dt(self.spec), name="nn")
+        attend_nn = _maybe_attend_mlp(self.spec, step, self.dims[-1])
+
+        # Streaming walk of the candidate window (eval: BN uses running
+        # stats, so per-chunk application is exact).  On CPU the default
+        # stays materialized to keep golden activations bit-stable.
+        stream_env = os.environ.get("CCN_STREAM_SAGEO", "auto")
+        use_stream = (not train
+                      and step.aggr_type in ("attend", "max")
+                      and stream_env != "0"
+                      and (stream_env == "force"
+                           or jax.default_backend() not in ("cpu",)))
+        if use_stream:
+            xo = self._stream(cloud, down, idx, nbr_mask, local_nn,
+                              attend_nn, train, bn_momentum)
+            return down.with_features(xo)
+
         # candidates are contiguous along-curve windows: fetch features and
         # positions as window slices (wide reads) instead of row gathers
         pw = curve1d.gather_window_features(cloud.pos, idx, self.window)
@@ -166,11 +244,8 @@ class CurveSAStep(nn.Module):
             msg = jnp.concatenate([xw, rel], axis=-1)
         else:
             msg = rel
-        local_nn = MLP(self.dims, act="leaky_relu", use_bias=self.spec.use_bias,
-                       dtype=_dt(self.spec), name="nn")
         msg = local_nn(msg, mask=nbr_mask, train=train,
                        bn_momentum=bn_momentum)
-        attend_nn = _maybe_attend_mlp(self.spec, step, self.dims[-1])
         logits = None
         if attend_nn is not None:
             logits = attend_nn(msg, mask=nbr_mask, train=train,
