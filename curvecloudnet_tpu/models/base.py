@@ -40,6 +40,56 @@ from .modules import (
 from .spec import ModelSpec
 
 
+def _row_radius_bounds(spec: ModelSpec):
+    """Max consumer radius per searched row, or None if unbounded.
+
+    Simulates the interpreter's row flow (downsampling creates a row,
+    fp/fp-geo returns to the popped skip row) and collects every 3D
+    same-row table consumer's radius.  A row whose consumers all carry a
+    radius gets ``bound = max(radii)``: its shared neighbor table can then
+    be built radius-bounded, which lets the Pallas kernel seed its pruning
+    threshold at bound^2 instead of discovering it block by block.
+
+    Returns a per-step list: the bound of the row step i searches.
+    """
+    from ..ops.neighbors import TABLE_K
+
+    row, next_row = 0, 1
+    down_stack = []
+    searches = []   # (row_id, radius or None-for-unbounded)
+    step_row = []
+    for step in spec.steps:
+        step_row.append(row)
+        if step.name == "sgcnn":
+            if step.use_sparse_feat_agg:
+                if step.knn is not None and step.knn <= TABLE_K:
+                    searches.append((row, None))
+            else:
+                r = step.radius if step.radius is not None else 1.0
+                if step.knn is not None and step.knn <= TABLE_K:
+                    searches.append((row, r))
+        elif step.name == "sa":
+            if step.use_fast_knn and step.knn and step.knn <= TABLE_K:
+                searches.append(
+                    (row, step.radius if step.radius is not None else 0.25))
+            elif step.knn and step.knn <= TABLE_K:
+                searches.append((row, None))
+            # pure ball grouping (k=128) bypasses the table entirely
+        if step.name in ("sa", "sa-geo", "sa-global"):
+            down_stack.append(row)
+            row, next_row = next_row, next_row + 1
+        elif step.name in ("fp", "fp-geo"):
+            row = down_stack.pop()
+    bounds = {}
+    for rid, r in searches:
+        if rid in bounds:
+            bounds[rid] = (None if (bounds[rid] is None or r is None)
+                           else max(bounds[rid], r))
+        else:
+            bounds[rid] = r
+    return [bounds.get(r) for r in step_row]
+
+
 class CurveCloudNet(nn.Module):
     """The full network: steps + final MLP head (+ category embedding)."""
 
@@ -60,8 +110,12 @@ class CurveCloudNet(nn.Module):
         n_now = self.n_points      # current static row size
 
         # one exact neighbor table per resolution row, shared by every 3D
-        # search at that row (ops/neighbors.py shared_knn_scope)
+        # search at that row (ops/neighbors.py shared_knn_scope).  The spec
+        # tells us every consumer's radius per row, so each table build can
+        # be radius-bounded (the Pallas kernel seeds its pruning threshold
+        # with bound^2 and skips candidate blocks with nothing inside it).
         from ..ops import neighbors as _nbrs
+        row_bounds = _row_radius_bounds(spec)
         knn_scope = _nbrs.shared_knn_scope()
         knn_scope.__enter__()
         for i, step in enumerate(spec.steps):
@@ -75,7 +129,9 @@ class CurveCloudNet(nn.Module):
 
             if step.name == "sa":
                 budget = step.out_budget(n_now)
-                cloud = SAStep(spec, step, dims, budget, name=name)(cloud, **kw)
+                cloud = SAStep(spec, step, dims, budget,
+                               table_bound=row_bounds[i], name=name)(
+                    cloud, **kw)
                 n_now = budget
             elif step.name == "sa-geo":
                 budget = step.out_budget(n_now)
@@ -102,7 +158,9 @@ class CurveCloudNet(nn.Module):
                 cloud = SkipConnectStep(spec, step, dims, name=name)(
                     cloud, skips, **kw)
             elif step.name in ("dgcnn", "dgcnn-rad", "sgcnn"):
-                cloud = EdgeConvStep(spec, step, dims, name=name)(cloud, **kw)
+                cloud = EdgeConvStep(spec, step, dims,
+                                     table_bound=row_bounds[i], name=name)(
+                    cloud, **kw)
             elif step.name in ("conv1d-fast-v1", "conv1d-fast-v2"):
                 cloud = SymmetricCurveConvStep(
                     spec, step, dims, v1=step.name.endswith("v1"), name=name)(

@@ -103,6 +103,7 @@ class SAStep(nn.Module):
     step: StepSpec
     dims: Tuple[int, ...]
     budget: int
+    table_bound: Optional[float] = None
 
     @nn.compact
     def __call__(self, cloud: Cloud, *, train=False, bn_momentum=0.1,
@@ -114,10 +115,12 @@ class SAStep(nn.Module):
             radius = step.radius if step.radius is not None else 0.25
             nbr_idx, _ = neighbors.subset_knn(cloud.pos, cloud.valid, idx,
                                               down.valid, step.knn,
-                                              radius=radius)
+                                              radius=radius,
+                                              table_bound=self.table_bound)
         elif step.knn is not None:
             nbr_idx, _ = neighbors.subset_knn(cloud.pos, cloud.valid, idx,
-                                              down.valid, step.knn)
+                                              down.valid, step.knn,
+                                              table_bound=self.table_bound)
         else:  # pure ball grouping, reference caps K at 128
             nbr_idx, _ = neighbors.ball_query(down.pos, cloud.pos, down.valid,
                                               cloud.valid, step.radius, 128)
@@ -348,6 +351,7 @@ class EdgeConvStep(nn.Module):
     spec: ModelSpec
     step: StepSpec
     dims: Tuple[int, ...]
+    table_bound: Optional[float] = None
 
     def _try_fused(self, x, xj, nbr_mask, train):
         """Eval-only fused message-MLP+max kernel (ops/pallas_edge.py).
@@ -413,12 +417,14 @@ class EdgeConvStep(nn.Module):
         else:  # sgcnn
             if step.use_sparse_feat_agg:
                 # slow path: exact kNN, no radius cap (dgcnn.py:209-225)
-                nbr_idx, _ = neighbors.same_set_knn(cloud.pos, cloud.valid,
-                                                    step.knn)
+                nbr_idx, _ = neighbors.same_set_knn(
+                    cloud.pos, cloud.valid, step.knn,
+                    table_bound=self.table_bound)
             else:
                 r = step.radius if step.radius is not None else 1.0
-                nbr_idx, _ = neighbors.same_set_knn(cloud.pos, cloud.valid,
-                                                    step.knn, radius=r)
+                nbr_idx, _ = neighbors.same_set_knn(
+                    cloud.pos, cloud.valid, step.knn, radius=r,
+                    table_bound=self.table_bound)
                 nbr_idx = neighbors.add_self_loops(nbr_idx, cloud.valid)
         nbr_mask = nbr_idx >= 0
         xj = neighbors.gather_neighbors(x, nbr_idx)

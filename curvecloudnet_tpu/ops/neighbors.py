@@ -215,14 +215,24 @@ class shared_knn_scope:
         return False
 
 
-def _row_table(pos: jax.Array, valid: jax.Array):
+def _row_table(pos: jax.Array, valid: jax.Array,
+               bound: float | None = None):
+    """Build-or-fetch the row's shared table.
+
+    ``bound`` (max radius over ALL the row's consumers, computed from the
+    model spec) makes the search radius-bounded: the Pallas kernel seeds its
+    per-query pruning threshold at bound^2, so blocks with no candidate
+    inside the bound skip extraction outright.  Every consumer filters at
+    radius <= bound, so results are unchanged.
+    """
     if _TABLE_CACHE is None or pos.shape[1] > TABLE_MAX_N:
         return None
     key = (id(pos), id(valid))
     hit = _TABLE_CACHE.get(key)
     if hit is not None and hit[0] is pos and hit[1] is valid:
         return hit[2]
-    table = knn(pos, pos, valid, valid, min(TABLE_K, pos.shape[1]))
+    table = knn(pos, pos, valid, valid, min(TABLE_K, pos.shape[1]),
+                radius=bound)
     _TABLE_CACHE[key] = (pos, valid, table)
     return table
 
@@ -237,20 +247,22 @@ def _filter_table(idx, dist, k: int, radius):
     return idx[..., :k], dist[..., :k]
 
 
-def same_set_knn(pos, valid, k: int, radius: float | None = None):
+def same_set_knn(pos, valid, k: int, radius: float | None = None,
+                 table_bound: float | None = None):
     """kNN of a 3D point set against itself via the shared row table."""
     if k <= TABLE_K and pos.shape[-1] == 3:
-        table = _row_table(pos, valid)
+        table = _row_table(pos, valid, table_bound)
         if table is not None:
             return _filter_table(*table, k, radius)
     return knn(pos, pos, valid, valid, k, radius=radius)
 
 
 def subset_knn(pos, valid, sub_idx, sub_valid, k: int,
-               radius: float | None = None):
+               radius: float | None = None,
+               table_bound: float | None = None):
     """kNN of row-subset queries ``pos[sub_idx]`` against the full set."""
     if k <= TABLE_K and pos.shape[-1] == 3:
-        table = _row_table(pos, valid)
+        table = _row_table(pos, valid, table_bound)
         if table is not None:
             idx, dist = table
             idx = jnp.take_along_axis(idx, sub_idx[..., None], axis=1)

@@ -65,12 +65,14 @@ def lovasz_softmax(probs: jax.Array, labels: jax.Array,
     # invalid rows sort last: real errors are in [0, 1]
     errors = jnp.where(valid[:, None], errors, -1.0)
 
-    order = jnp.argsort(-errors, axis=0)  # descending per class
-    errors_sorted = jnp.take_along_axis(errors, order, axis=0)
-    fg_sorted = jnp.take_along_axis(fgf, order, axis=0)
-    valid_sorted = jnp.take_along_axis(
-        jnp.broadcast_to(valid[:, None], (n, c)).astype(jnp.float32),
-        order, axis=0)
+    # ONE variadic sort carries (key, fg, valid) together — an argsort plus
+    # three take_along_axis calls costs 3 extra (N*C)-row gathers forward
+    # and their scatters backward (~12 ms/step at 32k x 17)
+    neg_sorted, fg_sorted, valid_sorted = jax.lax.sort(
+        (-errors, fgf, jnp.broadcast_to(valid[:, None], (n, c))
+         .astype(jnp.float32)),
+        dimension=0, num_keys=1)
+    errors_sorted = -neg_sorted
 
     gts = fgf.sum(axis=0)  # (C,)
     intersection = gts[None, :] - jnp.cumsum(fg_sorted, axis=0)
@@ -78,8 +80,13 @@ def lovasz_softmax(probs: jax.Array, labels: jax.Array,
     jaccard = 1.0 - intersection / jnp.maximum(union, 1e-12)
     grad = jnp.concatenate(
         [jaccard[:1], jaccard[1:] - jaccard[:-1]], axis=0)
-    losses = jnp.sum(
-        jnp.maximum(errors_sorted, 0.0) * valid_sorted * grad, axis=0)
+    # the Jaccard coefficient depends only on labels and the (piecewise-
+    # constant) sort order, so its derivative w.r.t. probs is zero a.e. —
+    # stopping its gradient reproduces the reference's autograd exactly
+    # (lovasz grad is data there too, lovasz_losses.py:198-203) while
+    # keeping the backward pass to one sort-transpose
+    grad = jax.lax.stop_gradient(grad * valid_sorted)
+    losses = jnp.sum(jnp.maximum(errors_sorted, 0.0) * grad, axis=0)
 
     present = gts > 0
     return jnp.sum(jnp.where(present, losses, 0.0)) / jnp.maximum(

@@ -83,21 +83,42 @@ def main():
     cloud = cloud_from_arrays(jnp.asarray(pos), jnp.asarray(cid),
                               jnp.asarray(valid), jnp.asarray(feat))
     key = jax.random.PRNGKey(0)
-    variables = jax.jit(lambda c: model.init(
-        {"params": key, "dropout": key}, c, train=False, key=key))(cloud)
-    fwd = jax.jit(lambda v, c: model.apply(v, c, train=False,
-                                           key=jax.random.PRNGKey(0))[0])
-    out = fwd(variables, cloud)
-    out.block_until_ready()
+    mode = os.environ.get("PROF_MODE", "eval")
+    if mode == "train":
+        from curvecloudnet_tpu.train import (
+            Batch, LossConfig, build_train_step, create_train_state,
+            make_schedule,
+        )
+
+        labels = jnp.asarray(
+            np.random.default_rng(1).integers(0, 17, (1, n_points)))
+        b = Batch(cloud=cloud, labels=labels)
+        state = create_train_state(model, b, key, make_schedule(None, 5e-4, 100))
+        step = jax.jit(build_train_step(
+            model, LossConfig(task="segmentation", ignore_index=0,
+                              use_lovasz=True)))
+
+        def run():
+            nonlocal state
+            state, m = step(state, b, key, jnp.float32(0.1))
+            jax.block_until_ready(m["loss"])
+    else:
+        variables = jax.jit(lambda c: model.init(
+            {"params": key, "dropout": key}, c, train=False, key=key))(cloud)
+        fwd = jax.jit(lambda v, c: model.apply(v, c, train=False,
+                                               key=jax.random.PRNGKey(0))[0])
+
+        def run():
+            fwd(variables, cloud).block_until_ready()
+
+    run()
     t0 = time.time()
-    out = fwd(variables, cloud)
-    out.block_until_ready()
-    print(f"steady-state forward: {(time.time()-t0)*1e3:.1f} ms")
+    run()
+    print(f"steady-state {mode} step: {(time.time()-t0)*1e3:.1f} ms")
 
     with jax.profiler.trace(trace_dir):
         for _ in range(3):
-            out = fwd(variables, cloud)
-        out.block_until_ready()
+            run()
     print("trace written to", trace_dir)
     summarize_xplane(trace_dir)
 
