@@ -205,7 +205,10 @@ def pad_sample(sample: Sample, n_pad: int) -> Dict[str, np.ndarray]:
     cid[:n] = sample.curve_id[:n]
     valid[:n] = True
     out = dict(pos=pos, curve_id=cid, valid=valid,
-               category=np.int32(sample.category))
+               category=np.int32(sample.category),
+               # points silently dropped by the static row size — surfaced
+               # as overflow telemetry in the eval loop
+               n_pad_dropped=np.int32(max(0, len(sample.pos) - n_pad)))
     if sample.feat is not None:
         f = np.zeros((n_pad, sample.feat.shape[-1]), np.float32)
         f[:n] = sample.feat[:n]

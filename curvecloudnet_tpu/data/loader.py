@@ -26,7 +26,7 @@ class PrefetchLoader:
     def __init__(self, dataset: CurveDataset, batch_size: int,
                  shuffle: bool = False, seed: int = 0, augment: bool = False,
                  drop_last: bool = True, num_workers: int = 4,
-                 prefetch: int = 4):
+                 prefetch: int = 4, shard_by_process: bool = True):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -35,15 +35,29 @@ class PrefetchLoader:
         self.drop_last = drop_last
         self.num_workers = max(1, num_workers)
         self.prefetch = prefetch
+        # Multi-host data sharding (SURVEY §2.11 'host data loading sharded
+        # per process'): every process shuffles the SAME global order (seed
+        # is shared) and reads only its contiguous slice of it, so the hosts
+        # jointly cover each epoch without overlap.
+        self.shard_by_process = shard_by_process
+
+    def _shard(self) -> range:
+        if not self.shard_by_process:
+            return range(len(self.dataset))
+        from ..parallel.mesh import process_shard_range
+
+        return process_shard_range(len(self.dataset))
 
     def __len__(self):
-        n = len(self.dataset)
+        n = len(self._shard())
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
     def _batch_indices(self, epoch_seed: int):
         order = np.arange(len(self.dataset))
         if self.shuffle:
             np.random.default_rng(epoch_seed).shuffle(order)
+        shard = self._shard()
+        order = order[shard.start:shard.stop]
         stop = (len(order) - self.batch_size + 1 if self.drop_last
                 else len(order))
         for s in range(0, max(stop, 0), self.batch_size):
@@ -68,11 +82,14 @@ class PrefetchLoader:
                     bi, idxs = task_q.get_nowait()
                 except queue.Empty:
                     return
-                samples = [pad_sample(
-                    self.dataset.get(int(i), rng=rng, augment=self.augment),
-                    self.dataset.n_pad) for i in idxs]
+                raw = [self.dataset.get(int(i), rng=rng,
+                                        augment=self.augment) for i in idxs]
+                samples = [pad_sample(s, self.dataset.n_pad) for s in raw]
                 batch = {k: np.stack([s[k] for s in samples])
                          for k in samples[0]}
+                metas = [getattr(s, "meta", None) for s in raw]
+                if any(m is not None for m in metas):
+                    batch["_meta"] = metas
                 with lock:
                     results[bi] = batch
 

@@ -53,6 +53,49 @@ class MetricLogger:
         if self._wandb:
             self._wandb.log(metrics, step=step)
 
+    def log_media(self, name: str, obj, step: Optional[int] = None) -> None:
+        """Log a figure/image as media (reference logs plotly + Mitsuba
+        figures to wandb, visualize_mitsuba.py:32,
+        shapenet_classification.py:109).  Accepts a numpy HxWx3 image, a
+        matplotlib figure, a plotly figure, or a file path; without wandb it
+        persists under ``<outdir>/media/`` and records the path in JSONL.
+        """
+        import numpy as np
+
+        if self._wandb:
+            w = self._wandb
+            if hasattr(obj, "to_plotly_json"):          # plotly figure
+                self._wandb.log({name: w.Plotly(obj)}, step=step)
+            elif isinstance(obj, np.ndarray) or hasattr(obj, "savefig") \
+                    or isinstance(obj, str):
+                self._wandb.log({name: w.Image(obj)}, step=step)
+            return
+        if not self.outdir:
+            return
+        import os
+
+        media = os.path.join(self.outdir, "media")
+        os.makedirs(media, exist_ok=True)
+        tag = f"{name.replace('/', '_')}" + ("" if step is None
+                                             else f"_{step}")
+        if hasattr(obj, "to_plotly_json"):
+            path = os.path.join(media, tag + ".html")
+            obj.write_html(path)
+        elif hasattr(obj, "savefig"):
+            path = os.path.join(media, tag + ".png")
+            obj.savefig(path, dpi=150)
+        elif isinstance(obj, np.ndarray):
+            import matplotlib
+
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+
+            path = os.path.join(media, tag + ".png")
+            plt.imsave(path, np.clip(obj, 0, 1))
+        else:
+            path = str(obj)
+        self.log({f"media/{name}": path}, step=step)
+
     def median_top_k(self, key: str, k: int = 5) -> float:
         """Reference 'Median Top 5 IOU' over the run's logged values
         (nuscenes_seg.py:159-161)."""

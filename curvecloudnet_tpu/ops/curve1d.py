@@ -204,8 +204,26 @@ def radius_1d_group_subset(pos: jax.Array, idx: jax.Array,
 
     k_q = gather_rows(per_pt_k, idx)  # (B, M) per-query neighbor budget
     keep = jnp.cumsum(mask.astype(jnp.float32), axis=-1) <= k_q[:, :, None]
-    mask = mask & keep
-    return jnp.where(mask, cand_safe, -1), mask
+    kept = mask & keep
+
+    from . import telemetry
+
+    if telemetry.active():
+        # a query is truncated when the radius wanted more neighbors than
+        # the static window offered AND its curve actually extends past the
+        # window (the reference sizes the window per curve instead,
+        # point_ops.py:165-167)
+        in_window = jnp.sum(mask, axis=-1).astype(jnp.float32)  # (B, M)
+        npts_q = gather_rows(npts, idx)
+        truncated = (in_window < jnp.minimum(k_q, npts_q)) & idx_valid
+        nq = jnp.maximum(jnp.sum(idx_valid), 1)
+        telemetry.record("curve_window_truncated_frac",
+                         jnp.sum(truncated) / nq)
+        wanted = jnp.where(idx_valid, jnp.minimum(k_q, npts_q), 0.0)
+        telemetry.record("curve_window_wanted_max", jnp.max(wanted))
+        telemetry.record("curve_window_wanted_mean",
+                         jnp.sum(wanted) / nq)
+    return jnp.where(kept, cand_safe, -1), kept
 
 
 def gather_window_features(x: jax.Array, idx: jax.Array,

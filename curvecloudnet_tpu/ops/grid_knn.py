@@ -104,17 +104,55 @@ def grid_knn_single(query, points, q_valid, p_valid, k: int, radius: float,
 
     cand = table[nbr_buckets]  # (Q, 27, cap*4) contiguous row gathers
     q_, c_ = query.shape[0], 27 * cap
-    cand = cand.reshape(q_, 27, 4, cap).swapaxes(2, 3).reshape(q_, c_, 4)
-    cand_pos = cand[..., :3]
-    cand_idx = jax.lax.bitcast_convert_type(cand[..., 3], jnp.int32)
-    d2 = jnp.sum((cand_pos - query[:, None, :]) ** 2, axis=-1)
-    good = (cand_idx >= 0) & q_valid[:, None] & (d2 <= radius * radius)
-    d2 = jnp.where(good, d2, _INF)
+    # distances computed in the table's channel-major layout — transposing
+    # to (Q, 27*cap, 4) first materializes multi-GB relayout copies at the
+    # caps real densities need
+    cand = cand.reshape(q_, 27, 4, cap)
+    d2 = ((cand[:, :, 0] - query[:, None, 0:1]) ** 2
+          + (cand[:, :, 1] - query[:, None, 1:2]) ** 2
+          + (cand[:, :, 2] - query[:, None, 2:3]) ** 2)     # (Q, 27, cap)
+    cand_idx = jax.lax.bitcast_convert_type(cand[:, :, 3], jnp.int32)
+    good = (cand_idx >= 0) & q_valid[:, None, None] & (d2 <= radius * radius)
+    d2 = jnp.where(good, d2, _INF).reshape(q_, c_)
+    cand_idx = cand_idx.reshape(q_, c_)
 
+    # top-k by packed min-extraction: lax.top_k (and, on this stack, even
+    # approx_min_k) lowers to a full (Q, 27*cap) sort — 100+ ms per search
+    # at real caps.  On TPU the extraction runs in a Pallas kernel so the
+    # candidate tile stays VMEM-resident across rounds; the plain-XLA loop
+    # below (CPU/tests) re-reads HBM per round.
     k_eff = min(k, c_)
-    neg, sel = jax.lax.top_k(-d2, k_eff)
-    top_d2 = -neg
-    top_idx = jnp.take_along_axis(cand_idx, sel, axis=-1)
+    if jax.default_backend() not in ("cpu",):
+        from . import pallas_topk
+
+        top_d2, top_idx = pallas_topk.topk_smallest(d2, cand_idx, k_eff)
+        return _finalize(top_d2, top_idx, k, k_eff)
+    pw = 1
+    while pw < c_:
+        pw *= 2
+    col = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
+    packed = jnp.bitwise_or(
+        jnp.bitwise_and(jax.lax.bitcast_convert_type(d2, jnp.int32),
+                        jnp.int32(~(pw - 1))), col)
+    sent = jnp.int32(0x7F800000 | (pw - 1))
+    tops_d2, tops_i = [], []
+    for _ in range(k_eff):
+        m = jnp.min(packed, axis=-1)                       # (Q,)
+        sel_m = col == jnp.bitwise_and(m, pw - 1)[:, None]
+        tops_i.append(jnp.sum(jnp.where(sel_m, cand_idx, 0), axis=-1))
+        tops_d2.append(jax.lax.bitcast_convert_type(
+            jnp.bitwise_and(m, jnp.int32(~(pw - 1))), jnp.float32))
+        packed = jnp.where(sel_m, sent, packed)
+    top_d2 = jnp.stack(tops_d2, axis=-1)
+    top_idx = jnp.stack(tops_i, axis=-1)
+    return _finalize(top_d2, top_idx, k, k_eff)
+
+
+def _finalize(top_d2, top_idx, k: int, k_eff: int):
+    """Shared tail: restore INF/-1 fills, dedup clamped cells, pad to k."""
+    # restore exact INF/-1 fills (masked bits of 1e30 compare below _INF)
+    top_idx = jnp.where(top_d2 < _INF * 0.98, top_idx, -1)
+    top_d2 = jnp.where(top_idx >= 0, top_d2, _INF)
     # dedup: boundary-clamped coords can repeat a neighbor cell
     same = top_idx[:, :, None] == top_idx[:, None, :]
     tri = np.tril(np.ones((k_eff, k_eff), bool), k=-1)

@@ -29,6 +29,26 @@ _INF = jnp.float32(1e30)
 KNN_BACKEND = os.environ.get("CCN_KNN_BACKEND", "auto")
 
 
+# Largest candidate count where the (exact) Pallas brute kernel stays
+# cheaper than grid-hash approximation; also bounds shared-table rows.
+# Covers real nuScenes sweeps' first search row (36864-pad -> 18432).
+BRUTE_MAX_N = 24576
+
+
+def grid_cap(k: int) -> int:
+    """Per-cell candidate cap for the grid path.
+
+    Sized for POST-DOWNSAMPLING row densities — the only rows the dispatch
+    routes to the grid (> BRUTE_MAX_N) are products of curve-fps/voxel
+    stages whose spacing bounds cell occupancy (measured max ~200/cell on
+    the curve-fps 65536 row; cap 192 -> 0.9997 candidate recall there).
+    tests/test_grid_recall.py floors exact-set recall at 0.95 at the real
+    operating points with this rule; raw full-density rows never reach the
+    grid.
+    """
+    return max(192, 4 * k)
+
+
 def _pick_backend(dim: int, radius, n: int) -> str:
     if KNN_BACKEND != "auto":
         return KNN_BACKEND
@@ -39,7 +59,7 @@ def _pick_backend(dim: int, radius, n: int) -> str:
         # up to mid-level sizes; the grid's per-cell cap truncates dense
         # cells (tests/test_grid_recall.py), so reserve it for full-res
         # rows where brute-force N^2 would dominate.
-        if radius is not None and n > 16384:
+        if radius is not None and n > BRUTE_MAX_N:
             return "grid"
         return "pallas"
     return "xla"
@@ -109,12 +129,8 @@ def knn(query: jax.Array, points: jax.Array, q_valid: jax.Array,
     if backend == "grid" and radius is not None:
         from . import grid_knn as grid_mod
 
-        # per-cell candidate cap scales with k: cap=16 measured 82% exact-set
-        # recall at the flagship's r=0.08/k=20 on dense lidar; 1.6k keeps it
-        # >94% (tests/test_grid_recall.py) at ~2x the table-fetch cost
-        cap = max(16, int(1.6 * k))
         return grid_mod.grid_knn(query, points, q_valid, p_valid, k,
-                                 radius=float(radius), cap=cap)
+                                 radius=float(radius), cap=grid_cap(k))
     if backend == "pallas":
         from . import pallas_knn
 
@@ -194,7 +210,7 @@ def ball_query(query, points, q_valid, p_valid, radius: float, k: int,
 # removes ~half the search cost of the flagship forward.
 
 TABLE_K = 32
-TABLE_MAX_N = 16384  # beyond this, brute-force tables lose to the grid path
+TABLE_MAX_N = 24576  # beyond this, per-consumer grid searches win (=BRUTE_MAX_N)
 _TABLE_CACHE: dict | None = None
 
 
@@ -237,6 +253,23 @@ def _row_table(pos: jax.Array, valid: jax.Array,
     return table
 
 
+def _grid_row_table(pos: jax.Array, valid: jax.Array, radius: float):
+    """Shared table for rows ABOVE the brute limit: one grid search per
+    (row, radius) — same-radius consumers (e.g. a row's sgcnn k=20 and sa
+    k=32 both at r=0.04) share it; the k'-nearest prefix property holds
+    within one search."""
+    if _TABLE_CACHE is None:
+        return None
+    key = (id(pos), id(valid), float(radius))
+    hit = _TABLE_CACHE.get(key)
+    if hit is not None and hit[0] is pos and hit[1] is valid:
+        return hit[2]
+    table = knn(pos, pos, valid, valid, min(TABLE_K, pos.shape[1]),
+                radius=float(radius))
+    _TABLE_CACHE[key] = (pos, valid, table)
+    return table
+
+
 def _filter_table(idx, dist, k: int, radius):
     if radius is not None:
         keep = dist <= radius
@@ -254,6 +287,10 @@ def same_set_knn(pos, valid, k: int, radius: float | None = None,
         table = _row_table(pos, valid, table_bound)
         if table is not None:
             return _filter_table(*table, k, radius)
+        if radius is not None and pos.shape[1] > TABLE_MAX_N:
+            table = _grid_row_table(pos, valid, radius)
+            if table is not None:
+                return table[0][..., :k], table[1][..., :k]
     return knn(pos, pos, valid, valid, k, radius=radius)
 
 
@@ -263,6 +300,10 @@ def subset_knn(pos, valid, sub_idx, sub_valid, k: int,
     """kNN of row-subset queries ``pos[sub_idx]`` against the full set."""
     if k <= TABLE_K and pos.shape[-1] == 3:
         table = _row_table(pos, valid, table_bound)
+        if table is None and radius is not None \
+                and pos.shape[1] > TABLE_MAX_N:
+            table = _grid_row_table(pos, valid, radius)
+            radius = None  # the grid table is already radius-filtered
         if table is not None:
             idx, dist = table
             idx = jnp.take_along_axis(idx, sub_idx[..., None], axis=1)

@@ -51,8 +51,22 @@ def mask_to_indices(mask: jax.Array, budget: int):
     out = jnp.full((b, budget + 1), 0, dtype=jnp.int32)
     out = jax.vmap(lambda o, s, v: o.at[s].set(v))(out, slot, iota)
     out = out[:, :budget]
-    count = jnp.minimum(mask.sum(axis=-1), budget)
+    selected = mask.sum(axis=-1)
+    count = jnp.minimum(selected, budget)
     idx_valid = jnp.arange(budget, dtype=jnp.int32)[None, :] < count[:, None]
+
+    from . import telemetry
+
+    if telemetry.active():
+        # fraction of *selected* points dropped by the static budget, and
+        # how full the budget ran (both batch means)
+        sel_f = selected.astype(jnp.float32)
+        telemetry.record(
+            "budget_overflow_frac",
+            jnp.mean(jnp.maximum(sel_f - budget, 0.0)
+                     / jnp.maximum(sel_f, 1.0)))
+        telemetry.record("budget_occupancy",
+                         jnp.mean(jnp.minimum(sel_f, budget) / budget))
     return out, idx_valid
 
 

@@ -97,18 +97,48 @@ TTA_FLIPS = np.array(
 TTA_SCALES = np.array([1.0, 0.95, 1.05], np.float32)
 
 
-def make_tta_eval(model, n_views_full: bool = True):
-    """Jitted fn(variables, cloud, flip (2,), scale ()) -> logits."""
+def make_tta_eval(model, n_views_full: bool = True,
+                  with_stats: bool = False):
+    """Jitted fn(variables, cloud, flip (2,), scale ()) -> logits.
+
+    ``with_stats`` additionally returns the overflow/truncation telemetry
+    scalars recorded by the budgeted ops (ops/telemetry.py).
+    """
+    from ..ops import telemetry
 
     def fwd(variables, cloud, flip, scale):
         xy = cloud.pos[..., :2] * flip[None, None, :] * scale
         pos = jnp.concatenate([xy, cloud.pos[..., 2:]], axis=-1)
         c = cloud.replace(pos=pos)
-        logits, out_valid = model.apply(variables, c, train=False,
-                                        key=jax.random.PRNGKey(0))
+        with telemetry.capture() as cap:
+            logits, out_valid = model.apply(variables, c, train=False,
+                                            key=jax.random.PRNGKey(0))
+            stats = cap.current()
+        if with_stats:
+            return logits, out_valid, stats
         return logits, out_valid
 
     return jax.jit(fwd)
+
+
+def make_eval_post(n_cls: int, metric_ignore):
+    """One jitted postprocess per scan: mean logits -> argmax -> confusion
+    histogram delta.  Folding this into a single dispatch matters through
+    the TPU tunnel, where every dispatch/block costs ~5-25 ms of host
+    round-trip (a lax.scan-over-views single-dispatch variant was tried and
+    measured 4.7x SLOWER per view — XLA cannot hoist weight staging out of
+    the scan body — so eval keeps per-view dispatches and instead blocks
+    only once per scan)."""
+
+    def post(logits_list, labels, out_valid):
+        mean_logits = sum(logits_list[1:], logits_list[0]) / len(logits_list)
+        pred = jnp.argmax(mean_logits, axis=-1)
+        lv = out_valid
+        if metric_ignore is not None:
+            lv = lv & (labels != metric_ignore)
+        return mean_logits, M.masked_hist(pred, labels, lv, n_cls)
+
+    return jax.jit(post)
 
 
 def make_batched_tta_eval(model, views_per_call: int = 4):
@@ -200,47 +230,85 @@ def evaluate_segmentation(model, variables, dataset, task_info: TaskInfo,
 
     Returns dict(miou, per_class_iou, points_per_sec, mean_forward_s).
     """
-    from ..data.datasets import batch_iterator, to_device_batch
+    from ..data.datasets import to_device_batch
+    from ..data.loader import PrefetchLoader
 
     use_tta = task_info.tta if use_tta is None else use_tta
     n_cls = task_info.n_out
     use_batched = use_tta and batched_tta and batch_size == 1
-    fwd = make_batched_tta_eval(model) if use_batched else make_tta_eval(model)
+    fwd = (make_batched_tta_eval(model) if use_batched
+           else make_tta_eval(model, with_stats=True))
+    post = make_eval_post(n_cls, task_info.metric_ignore)
     hist = jnp.zeros((n_cls, n_cls), jnp.int32)
     times, n_pts = [], 0
+    stats_acc: Dict[str, list] = {}
+    pad_dropped = 0
     views = ([(f, s) for f in TTA_FLIPS for s in TTA_SCALES]
              if use_tta else [(TTA_FLIPS[0], TTA_SCALES[0])])
+    n_views = len(views)
+    # stage view parameters on device once (each fresh host->device
+    # transfer costs tunnel latency)
+    views_dev = [(jnp.asarray(f), jnp.asarray(s)) for f, s in views]
 
-    for bi, np_batch in enumerate(batch_iterator(dataset, batch_size,
-                                                 drop_last=False)):
+    # worker-prepared batches overlap host-side sample prep (curve
+    # extraction, padding) with device compute — a serial iterator leaves
+    # the chip idle between scans
+    loader = PrefetchLoader(dataset, batch_size, shuffle=False,
+                            drop_last=False, num_workers=2, prefetch=2,
+                            shard_by_process=False)
+
+    def consume(entry):
+        nonlocal n_pts
+        mean_logits, hist_delta, stats, cloud_valid, metas, nv = entry
+        for sk, sv in (stats or {}).items():
+            stats_acc.setdefault(sk, []).append(float(sv))
+        n_pts += nv
+        if test_mode and outdir is not None:
+            dump_submission(mean_logits, cloud_valid, metas, outdir)
+
+    # the whole scan (12 view dispatches + 1 postprocess) stays in flight
+    # while the next scan is dispatched; exactly ONE device block per scan
+    # (each block_until_ready is a full tunnel round trip)
+    pending, t_prev, t_done = None, None, None
+    for bi, np_batch in enumerate(loader.epoch(0)):
         if max_batches is not None and bi >= max_batches:
             break
         metas = np_batch.pop("_meta", [None] * len(np_batch["pos"]))
+        pad_dropped += int(np.sum(np_batch.pop("n_pad_dropped", 0)))
+        nv = int(np_batch["valid"].sum())
         batch = to_device_batch(np_batch, task_info.task)
+        t0 = time.time()
         if use_batched:
-            t0 = time.time()
             mean_logits, out_valid = fwd(variables, batch.cloud)
-            mean_logits.block_until_ready()
-            times.append(time.time() - t0)
+            stats = {}
+            hist_delta = post((mean_logits,), batch.labels, out_valid)[1]
         else:
-            logits_sum = None
-            for f, s in views:
-                t0 = time.time()
-                logits, out_valid = fwd(variables, batch.cloud,
-                                        jnp.asarray(f), jnp.asarray(s))
-                logits.block_until_ready()
-                times.append(time.time() - t0)
-                logits_sum = (logits if logits_sum is None
-                              else logits_sum + logits)
-            mean_logits = logits_sum / len(views)
-        pred = jnp.argmax(mean_logits, axis=-1)
-        lv = out_valid
-        if task_info.metric_ignore is not None:
-            lv = lv & (batch.labels != task_info.metric_ignore)
-        hist = hist + M.masked_hist(pred, batch.labels, lv, n_cls)
-        n_pts += int(np_batch["valid"].sum())  # host-side: no device sync
-        if test_mode and outdir is not None:
-            dump_submission(mean_logits, batch.cloud.valid, metas, outdir)
+            # dispatch all views without intermediate adds or blocks: every
+            # extra dispatch through the tunnel is serial host time
+            all_logits, stats = [], None
+            for f, s in views_dev:
+                logits, out_valid, stats = fwd(variables, batch.cloud, f, s)
+                all_logits.append(logits)
+            mean_logits, hist_delta = post(tuple(all_logits), batch.labels,
+                                           out_valid)
+        hist = hist + hist_delta
+        if pending is not None:
+            pending[1].block_until_ready()
+            now = time.time()
+            # steady state: completion-to-completion interval per scan
+            span = now - (t_done if t_done is not None else t_prev)
+            t_done = now
+            times.extend([span / n_views] * n_views)
+            consume(pending)
+        pending = (mean_logits, hist_delta, stats, batch.cloud.valid,
+                   metas, nv)
+        t_prev = t0
+    if pending is not None:
+        pending[1].block_until_ready()
+        now = time.time()
+        span = now - (t_done if t_done is not None else t_prev)
+        times.extend([span / n_views] * n_views)
+        consume(pending)
 
     hist = np.asarray(hist)
     if task_info.metric_ignore is not None:
@@ -252,7 +320,11 @@ def evaluate_segmentation(model, variables, dataset, task_info: TaskInfo,
         names = task_info.class_names
     iou = M.per_class_iu(hist)
     # skip warm-up/compile iterations like the reference (nuscenes_seg.py:148)
-    warm = times[min(5, max(0, len(times) - 1)):]
+    # (with pipelined TTA the whole first scan shares the compile time, so
+    # skip a full scan's worth of view entries when possible)
+    skip = len(views) if len(times) > len(views) else min(
+        5, max(0, len(times) - 1))
+    warm = times[skip:]
     mean_fwd = float(np.mean(warm)) if warm else float("nan")
     pts_per_fwd = (n_pts * len(views)) / max(len(times), 1)
     points_per_sec = (pts_per_fwd / mean_fwd if warm and mean_fwd > 0
@@ -264,6 +336,8 @@ def evaluate_segmentation(model, variables, dataset, task_info: TaskInfo,
         peak_gb = stats.get("peak_bytes_in_use", 0) / 1e9
     except Exception:
         peak_gb = float("nan")
+    overflow = {k: float(np.mean(v)) for k, v in stats_acc.items()}
+    overflow["n_pad_dropped_points"] = pad_dropped
     result = {
         "miou": float(np.nanmean(iou)),
         "per_class_iou": iou.tolist(),
@@ -271,9 +345,15 @@ def evaluate_segmentation(model, variables, dataset, task_info: TaskInfo,
         "mean_forward_s": mean_fwd,
         "points_per_sec": points_per_sec,
         "peak_device_memory_gb": peak_gb,
+        "overflow": overflow,
     }
     log(f"mIoU: {result['miou']:.4f}  "
         f"(fwd {mean_fwd*1e3:.1f} ms, {result['points_per_sec']:.0f} pts/s)")
+    worst = {k: v for k, v in overflow.items()
+             if ("overflow" in k or "truncated" in k or "dropped" in k)
+             and v > 0}
+    if worst:
+        log(f"overflow telemetry (nonzero): {worst}")
     return result
 
 

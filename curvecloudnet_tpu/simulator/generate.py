@@ -170,14 +170,39 @@ def mesh_to_curve_cloud(rng: np.random.Generator, verts: np.ndarray,
 def generate_dataset(outdir: str, n_samples: int = 64, n_points: int = 2048,
                      resolution: int = 512, pattern: str = "random",
                      density: float = 0.25, n_parts: int = 4,
-                     seed: int = 0, obj_dir: Optional[str] = None) -> str:
+                     seed: int = 0, obj_dir: Optional[str] = None,
+                     shapenet_dir: Optional[str] = None,
+                     shapenet_version: int = 1,
+                     split: str = "train", split_csv: str = "",
+                     labels_dir: str = "", synsets=None) -> str:
     """Write a padded .npz dataset of simulated scans (one file per split
-    shard).  Uses OBJ meshes from obj_dir when given, else primitives."""
+    shard).
+
+    Mesh sources, in priority order: a real ShapeNetCore tree
+    (``shapenet_dir`` + optional official ``split_csv`` + part-seg
+    ``labels_dir`` for NN label transfer, reference
+    generate_shapenet.py:47-110), a flat OBJ directory, or procedural
+    primitives with height-quantile stand-in labels."""
     os.makedirs(outdir, exist_ok=True)
     rng = np.random.default_rng(seed)
     names = sorted(PRIMITIVES)
     objs = (sorted(os.path.join(obj_dir, p) for p in os.listdir(obj_dir)
                    if p.endswith(".obj")) if obj_dir else [])
+    snc = None
+    if shapenet_dir:
+        from .shapenet_core import (
+            ShapeNetCoreSplit, load_part_labels, transfer_part_labels,
+        )
+
+        snc = ShapeNetCoreSplit(shapenet_dir, version=shapenet_version,
+                                synsets=synsets, split=split,
+                                split_csv_path=split_csv,
+                                labels_dir=labels_dir)
+        if not len(snc):
+            raise FileNotFoundError(
+                f"no ShapeNetCore models under {shapenet_dir} for "
+                f"split={split!r}")
+        synset_ids = sorted({m.synset for m in snc})
     pos_all = np.zeros((n_samples, n_points, 3), np.float32)
     cid_all = np.zeros((n_samples, n_points), np.int32)
     lab_all = np.zeros((n_samples, n_points), np.int32)
@@ -185,7 +210,13 @@ def generate_dataset(outdir: str, n_samples: int = 64, n_points: int = 2048,
     valid_all = np.zeros((n_samples, n_points), bool)
     i = 0
     while i < n_samples:
-        if objs:
+        label_cloud = None
+        if snc is not None:
+            model = snc.models[int(rng.integers(len(snc)))]
+            verts, faces = load_obj(model.obj_path)
+            cat = synset_ids.index(model.synset)
+            label_cloud = load_part_labels(model)
+        elif objs:
             cat = int(rng.integers(len(objs)))
             verts, faces = load_obj(objs[cat])
         else:
@@ -197,9 +228,16 @@ def generate_dataset(outdir: str, n_samples: int = 64, n_points: int = 2048,
         if got is None:
             continue
         m = len(got["pos"])
+        if label_cloud is not None:
+            # real part labels: nearest-neighbor transfer from the part-seg
+            # point cloud, normalized the same way as the mesh
+            lp, ly = label_cloud
+            lp = lp - lp.mean(0, keepdims=True)
+            lp = lp / max(np.linalg.norm(lp, axis=1).max(), 1e-8)
+            got["labels"] = transfer_part_labels(got["pos"], lp, ly)
         pos_all[i, :m] = got["pos"]
         cid_all[i, :m] = got["curve_id"]
-        lab_all[i, :m] = got["labels"]
+        lab_all[i, :m] = got["labels"][:m]
         valid_all[i, :m] = True
         cat_all[i] = cat
         i += 1

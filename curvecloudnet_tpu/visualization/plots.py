@@ -125,6 +125,70 @@ def plot_confusion(confmat, class_names: Optional[Sequence[str]] = None,
     return path
 
 
+def grouping_edges_figure(pos, nbr_idx, query_pos=None, valid=None,
+                          max_edges: int = 4000, path: Optional[str] = None,
+                          title: str = "groupings"):
+    """Neighbor-grouping edge graph (reference
+    ``visualize_plotly.py:284-306`` draws each grouping edge as a 3D line
+    from query to neighbor).  Returns a plotly Figure when plotly is
+    installed; otherwise renders a matplotlib Line3D fallback to ``path``
+    (and returns the path).
+
+    pos: (N, 3) candidate points; nbr_idx: (Q, K) with -1 padding;
+    query_pos: (Q, 3) (defaults to pos rows — same-set grouping).
+    """
+    pos = np.asarray(pos, np.float32)
+    nbr = np.asarray(nbr_idx)
+    qpos = pos if query_pos is None else np.asarray(query_pos, np.float32)
+    qs, js = np.nonzero(nbr >= 0)
+    tgt = nbr[qs, js]
+    if valid is not None:
+        m = np.asarray(valid, bool)
+        keep = m[tgt]
+        qs, tgt = qs[keep], tgt[keep]
+    if len(qs) > max_edges:
+        sel = np.random.default_rng(0).choice(len(qs), max_edges,
+                                              replace=False)
+        qs, tgt = qs[sel], tgt[sel]
+    a, b = qpos[qs], pos[tgt]
+
+    try:
+        import plotly.graph_objects as go
+
+        # one trace with None separators — the plotly idiom for segments
+        xs = np.stack([a[:, 0], b[:, 0], np.full(len(a), np.nan)], -1).ravel()
+        ys = np.stack([a[:, 1], b[:, 1], np.full(len(a), np.nan)], -1).ravel()
+        zs = np.stack([a[:, 2], b[:, 2], np.full(len(a), np.nan)], -1).ravel()
+        fig = go.Figure(data=[
+            go.Scatter3d(x=xs, y=ys, z=zs, mode="lines",
+                         line=dict(width=1, color="rgba(60,60,200,0.4)"),
+                         name="edges"),
+            go.Scatter3d(x=qpos[:, 0], y=qpos[:, 1], z=qpos[:, 2],
+                         mode="markers", marker=dict(size=2, color="red"),
+                         name="queries"),
+        ])
+        fig.update_layout(title=title)
+        return fig
+    except ImportError:
+        pass
+    plt = _mpl()
+    from mpl_toolkits.mplot3d.art3d import Line3DCollection
+
+    fig = plt.figure(figsize=(8, 8))
+    ax = fig.add_subplot(111, projection="3d")
+    ax.add_collection3d(Line3DCollection(
+        np.stack([a, b], axis=1), linewidths=0.3, colors=(0.2, 0.2, 0.8, 0.4)))
+    ax.scatter(pos[:, 0], pos[:, 1], pos[:, 2], s=0.5, c="gray")
+    lo, hi = pos.min(0), pos.max(0)
+    ax.set_xlim(lo[0], hi[0]); ax.set_ylim(lo[1], hi[1])
+    ax.set_zlim(lo[2], hi[2])
+    ax.set_title(title)
+    out = path or "groupings.png"
+    fig.savefig(out, dpi=150)
+    plt.close(fig)
+    return out
+
+
 def to_plotly_figure(pos, labels, valid=None):
     """Interactive 3D figure when plotly is available (optional dep)."""
     try:

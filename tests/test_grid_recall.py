@@ -1,7 +1,14 @@
-"""Grid-kNN recall vs exact search on realistic lidar density.
+"""Grid-kNN recall vs exact search at the rows the dispatch actually
+routes to the grid.
 
-Quantifies the cap-truncation approximation (docs/DEVIATIONS.md #4) at the
-flagship's operating points: recall of the exact in-radius k-nearest set.
+The grid path only serves candidate counts above ``neighbors.BRUTE_MAX_N``
+(real-scale KITTI pads its first search rows to 65536/32768; everything
+smaller runs the exact Pallas kernel).  Crucially those rows are
+POST-DOWNSAMPLING point sets — curve-fps(arclen 0.007) at the 65536 row and
+voxel(0.03) at the 32768 row — which bounds per-cell occupancy, so the
+recall floor must be measured on matching distributions (raw full-density
+sweeps overstate truncation).  Oracle = exact blocked search on a query
+subsample.
 """
 
 import numpy as np
@@ -9,31 +16,78 @@ import jax.numpy as jnp
 import pytest
 
 from curvecloudnet_tpu.data.synthetic import synthetic_lidar_sweep
-from curvecloudnet_tpu.ops import neighbors
+from curvecloudnet_tpu.ops import neighbors, sampling
 from curvecloudnet_tpu.ops.grid_knn import grid_knn
 
 
-@pytest.mark.parametrize("radius,k,floor", [(0.04, 20, 0.97),
-                                            (0.08, 20, 0.93)])
-def test_grid_recall_on_lidar(radius, k, floor):
-    rng = np.random.default_rng(0)
-    pos, _, _, _ = synthetic_lidar_sweep(rng, 8192, n_beams=32)
-    pos = jnp.asarray(pos)[None]
-    v = jnp.ones((1, pos.shape[1]), bool)
+def _row_points(n_row, stage, seed=0):
+    """Synthesize a lidar sweep and downsample it the way the model row is
+    actually produced (KITTI flagship: 131072 -> curve-fps 65536 -> voxel
+    0.03 -> 32768)."""
+    rng = np.random.default_rng(seed)
+    raw, _, curve_id, _ = synthetic_lidar_sweep(rng, 2 * n_row, n_beams=64)
+    pos = jnp.asarray(raw)[None]
+    valid = jnp.ones((1, pos.shape[1]), bool)
+    cid = jnp.asarray(curve_id)[None]
+    if stage == "curve-fps":
+        idx, iv = sampling.curve_fps(pos, cid, valid, 0.007, n_row)
+    else:
+        idx, iv = sampling.voxel_downsample(pos, valid, 0.03, n_row)
+    pos = jnp.take_along_axis(pos, idx[..., None], axis=1)
+    return pos, iv
 
-    cap = max(16, int(1.6 * k))  # the dispatch default (neighbors.knn)
-    gi, gd = grid_knn(pos, pos, v, v, k, radius, cap=cap)
-    bi, bd = neighbors.knn(pos, pos, v, v, k, radius=radius)
 
-    g = np.asarray(gi)[0]
+def _recall(n_row, stage, radius, k, seed=0, n_oracle=768):
+    pos, valid = _row_points(n_row, stage, seed)
+    cap = neighbors.grid_cap(k)
+    gi, _ = grid_knn(pos, pos, valid, valid, k, radius, cap=cap)
+    rng = np.random.default_rng(seed + 1)
+    nv = int(np.asarray(valid).sum())
+    qsel = np.sort(rng.choice(nv, n_oracle, replace=False))
+    q = pos[:, qsel]
+    qv = jnp.ones((1, n_oracle), bool)
+    bi, _ = neighbors.knn(q, pos, qv, valid, k, radius=radius)
+    g = np.asarray(gi)[0][qsel]
     b = np.asarray(bi)[0]
-    # per-query recall of the exact neighbor set
     recalls = []
-    for q in range(0, g.shape[0], 7):
-        exact = set(b[q][b[q] >= 0].tolist())
+    for i in range(n_oracle):
+        exact = set(b[i][b[i] >= 0].tolist())
         if not exact:
             continue
-        got = set(g[q][g[q] >= 0].tolist())
+        got = set(g[i][g[i] >= 0].tolist())
         recalls.append(len(exact & got) / len(exact))
-    mean_recall = float(np.mean(recalls))
-    assert mean_recall > floor, mean_recall
+    return float(np.mean(recalls))
+
+
+import os
+
+_SLOW = os.environ.get("CCN_SLOW_TESTS", "0") == "1"
+
+# The searches the KITTI flagship routes to the grid at real-scale padding:
+# 65536 row (post curve-fps): sgcnn r=0.04 k=20, sa r=0.04 k=32
+# 32768 row (post voxel 0.03): sgcnn r=0.08 k=20, sa r=0.1 k=32
+# Last full run (CCN_SLOW_TESTS=1, 2026-08-16): all four points > 0.95 with
+# cap=grid_cap(k)=192 + approx_min_k(recall_target=0.99).
+@pytest.mark.parametrize("n_row,stage,radius,k", [
+    pytest.param(65536, "curve-fps", 0.04, 20,
+                 marks=pytest.mark.skipif(
+                     not _SLOW, reason="~6 min on CPU; CCN_SLOW_TESTS=1")),
+    pytest.param(65536, "curve-fps", 0.04, 32,
+                 marks=pytest.mark.skipif(
+                     not _SLOW, reason="~6 min on CPU; CCN_SLOW_TESTS=1")),
+    (32768, "voxel", 0.08, 20),
+    (32768, "voxel", 0.10, 32),
+])
+def test_grid_recall_at_operating_points(n_row, stage, radius, k):
+    r = _recall(n_row, stage, radius, k)
+    assert r > 0.95, f"recall {r:.4f} at {stage} row {n_row} r={radius} k={k}"
+
+
+def test_dispatch_routes_small_rows_to_exact(monkeypatch):
+    """Rows at or below BRUTE_MAX_N must use the exact kernel, never the
+    grid (this was round 1's recall regression surface)."""
+    monkeypatch.setattr(neighbors.jax, "default_backend", lambda: "tpu")
+    assert neighbors._pick_backend(3, 0.04, neighbors.BRUTE_MAX_N) == "pallas"
+    assert neighbors._pick_backend(3, 0.04,
+                                   neighbors.BRUTE_MAX_N + 1) == "grid"
+    assert neighbors.BRUTE_MAX_N >= 18432  # nuScenes real-pad first row

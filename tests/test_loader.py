@@ -29,3 +29,31 @@ def test_prefetch_loader_shuffles_by_epoch():
     e1 = np.concatenate([b["labels"] for b in loader.epoch(1)])
     np.testing.assert_array_equal(e0, e0b)  # same epoch -> same order
     assert not np.array_equal(e0, e1)       # different epoch -> reshuffled
+
+
+def test_multihost_sharding_partitions_epoch(monkeypatch):
+    """Each process reads a disjoint slice of the SAME shuffled order
+    (SURVEY §2.11 'host data loading sharded per process')."""
+    import curvecloudnet_tpu.parallel.mesh as mesh_mod
+
+    ds = D.SyntheticObjects(n_samples=17, n_pad=64, task="classification")
+    shards = []
+    for p in (0, 1):
+        monkeypatch.setattr(mesh_mod.jax, "process_index", lambda p=p: p)
+        monkeypatch.setattr(mesh_mod.jax, "process_count", lambda: 2)
+        loader = PrefetchLoader(ds, batch_size=2, shuffle=True, seed=7,
+                                drop_last=False)
+        idxs = [int(i) for b in loader._batch_indices(7) for i in b]
+        shards.append(idxs)
+        assert len(loader) == -(-len(idxs) // 2)
+    assert not (set(shards[0]) & set(shards[1]))
+    assert sorted(shards[0] + shards[1]) == list(range(17))
+
+
+def test_single_process_shard_is_identity():
+    ds = D.SyntheticObjects(n_samples=8, n_pad=64, task="classification")
+    loader = PrefetchLoader(ds, batch_size=4, shuffle=False)
+    assert loader._shard() == range(8)
+    unsharded = PrefetchLoader(ds, batch_size=4, shuffle=False,
+                               shard_by_process=False)
+    assert unsharded._shard() == range(8)

@@ -1,0 +1,101 @@
+"""ShapeNetCore layout loader + NN label transfer (round-1 verdict #9).
+
+Builds a synthetic ShapeNetCore v1 tree (synset/model_id/model.obj + the
+official split CSV + part-seg points/points_label) and checks the loader's
+split filtering and the generator's real-label path end to end (reference
+shapenet_dataset.py:24-210, generate_shapenet.py:89-90).
+"""
+
+import csv
+import os
+
+import numpy as np
+import pytest
+
+from curvecloudnet_tpu.simulator import generate as G
+from curvecloudnet_tpu.simulator.shapenet_core import (
+    ShapeNetCoreSplit, load_part_labels, transfer_part_labels,
+)
+
+
+def _write_obj(path, verts, faces):
+    with open(path, "w") as f:
+        for v in verts:
+            f.write(f"v {v[0]} {v[1]} {v[2]}\n")
+        for a, b, c in faces:
+            f.write(f"f {a + 1} {b + 1} {c + 1}\n")
+
+
+def _make_tree(root):
+    """Two synsets, three models; model 'm2' is in the val split."""
+    verts, faces = G.uv_sphere(n_lat=12, n_lon=16)
+    rows = []
+    for synset, models, split in [("02691156", ["m0", "m1"], "train"),
+                                  ("03001627", ["m2"], "val")]:
+        for mid in models:
+            mdir = os.path.join(root, "core", synset, mid)
+            os.makedirs(mdir)
+            _write_obj(os.path.join(mdir, "model.obj"), verts, faces)
+            rows.append({"synsetId": synset, "modelId": mid, "split": split})
+            # part-seg labels: upper hemisphere = part 1, lower = part 0
+            pdir = os.path.join(root, "labels", synset, "points")
+            ldir = os.path.join(root, "labels", synset, "points_label")
+            os.makedirs(pdir, exist_ok=True)
+            os.makedirs(ldir, exist_ok=True)
+            pts = verts + 0.001
+            np.savetxt(os.path.join(pdir, mid + ".pts"), pts)
+            np.savetxt(os.path.join(ldir, mid + ".seg"),
+                       (pts[:, 2] > 0).astype(np.int64), fmt="%d")
+    with open(os.path.join(root, "all.csv"), "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=["synsetId", "modelId", "split"])
+        w.writeheader()
+        w.writerows(rows)
+    return (os.path.join(root, "core"), os.path.join(root, "all.csv"),
+            os.path.join(root, "labels"))
+
+
+def test_split_filtering(tmp_path):
+    core, csv_path, labels = _make_tree(str(tmp_path))
+    train = ShapeNetCoreSplit(core, split="train", split_csv_path=csv_path,
+                              labels_dir=labels)
+    val = ShapeNetCoreSplit(core, split="val", split_csv_path=csv_path)
+    assert sorted(m.model_id for m in train) == ["m0", "m1"]
+    assert [m.model_id for m in val] == ["m2"]
+    nosplit = ShapeNetCoreSplit(core)
+    assert len(nosplit) == 3
+    only = ShapeNetCoreSplit(core, synsets=["02691156"])
+    assert {m.synset for m in only} == {"02691156"}
+    assert train.models[0].label_pts_path is not None
+
+
+def test_label_transfer_exact():
+    rng = np.random.default_rng(0)
+    label_pos = rng.normal(size=(500, 3)).astype(np.float32)
+    labels = rng.integers(0, 5, 500)
+    scan = label_pos[::3] + 1e-5
+    got = transfer_part_labels(scan, label_pos, labels)
+    np.testing.assert_array_equal(got, labels[::3])
+
+
+def test_generator_consumes_real_layout(tmp_path):
+    core, csv_path, labels = _make_tree(str(tmp_path))
+    out = G.generate_dataset(str(tmp_path / "out"), n_samples=2,
+                             n_points=256, resolution=96,
+                             shapenet_dir=core, split="train",
+                             split_csv=csv_path, labels_dir=labels, seed=0)
+    blob = np.load(out)
+    assert blob["pos"].shape == (2, 256, 3)
+    lab = blob["labels"][blob["valid"]]
+    # transferred labels are the hemisphere split, not height quantiles
+    assert set(np.unique(lab)) <= {0, 1}
+    pts = blob["pos"][blob["valid"]]
+    upper = lab[pts[:, 2] > 0.15]
+    if len(upper) > 10:
+        assert (upper == 1).mean() > 0.8
+
+
+def test_generator_raises_on_empty_tree(tmp_path):
+    os.makedirs(tmp_path / "empty")
+    with pytest.raises(FileNotFoundError):
+        G.generate_dataset(str(tmp_path / "o"), n_samples=1, n_points=64,
+                           shapenet_dir=str(tmp_path / "empty"))
