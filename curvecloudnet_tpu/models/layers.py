@@ -98,7 +98,13 @@ class MLP(nn.Module):
     dtype: object = None  # compute dtype (e.g. jnp.bfloat16); params stay f32
 
     @nn.compact
-    def __call__(self, x, mask=None, train: bool = False, bn_momentum=0.1):
+    def __call__(self, x, mask=None, train: bool = False, bn_momentum=0.1,
+                 first_map=None):
+        """``first_map``, when given, replaces the first layer's plain
+        ``dense(x)`` application: it receives the bound ``lin_0`` Dense and
+        returns that layer's pre-activation (callers use this to
+        re-associate edge-message matmuls without touching the parameter
+        tree — see EdgeConvStep)."""
         dims = list(self.dims)
         act_fn = ACTIVATIONS[self.act]
         n_layers = len(dims) - 1
@@ -107,8 +113,12 @@ class MLP(nn.Module):
             plain = last and self.plain_last
             if plain and self.dropout > 0:
                 x = nn.Dropout(self.dropout, deterministic=not train)(x)
-            x = nn.Dense(dims[i + 1], use_bias=self.use_bias,
-                         dtype=self.dtype, name=f"lin_{i}")(x)
+            dense = nn.Dense(dims[i + 1], use_bias=self.use_bias,
+                             dtype=self.dtype, name=f"lin_{i}")
+            if i == 0 and first_map is not None:
+                x = first_map(dense)
+            else:
+                x = dense(x)
             if not plain:
                 if self.norm == "batch_norm":
                     x = MaskedBatchNorm(name=f"norm_{i}")(

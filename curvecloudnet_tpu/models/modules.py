@@ -427,21 +427,53 @@ class EdgeConvStep(nn.Module):
                     table_bound=self.table_bound)
                 nbr_idx = neighbors.add_self_loops(nbr_idx, cloud.valid)
         nbr_mask = nbr_idx >= 0
-        xj = neighbors.gather_neighbors(x, nbr_idx)
-
-        fused = self._try_fused(x, xj, nbr_mask, train)
-        if fused is not None:
-            return cloud.with_features(fused * cloud.valid[..., None])
-
-        xi = x[:, :, None, :]
-        if step.name == "sgcnn" and not step.use_sparse_feat_agg:
-            msg = jnp.concatenate([xj, xi - xj], axis=-1)
-        else:
-            msg = jnp.concatenate(
-                [jnp.broadcast_to(xi, xj.shape), xj - xi], axis=-1)
         local_nn = MLP(self.dims, use_bias=self.spec.use_bias,
                        dtype=_dt(self.spec), name="nn")
-        msg = local_nn(msg, mask=nbr_mask, train=train, bn_momentum=bn_momentum)
+        fast_order = step.name == "sgcnn" and not step.use_sparse_feat_agg
+
+        # Matmul-before-gather: the first edge layer re-associates as
+        #   fast  [x_j, x_i-x_j] @ W = gather(x@(Wt-Wb)) + (x@Wb + b)_i
+        #   slow  [x_i, x_j-x_i] @ W = gather(x@Wb) + (x@(Wt-Wb) + b)_i
+        # computed via three calls to the SAME lin_0 Dense on N-row inputs
+        # (dense(cat[x,-x]) = x@(Wt-Wb)+b, dense(cat[0,x]) = x@Wb+b), so the
+        # (B, N, K, 2C) message concat never materializes and the per-row
+        # gather moves the (usually narrower, bf16) first-layer output.
+        # Gated off CPU to keep golden activations bit-stable
+        # (reassociation changes rounding).
+        import os
+
+        split_env = os.environ.get("CCN_SPLIT_EDGE", "auto")
+        use_split = (split_env != "0"
+                     and (split_env == "force"
+                          or jax.default_backend() not in ("cpu",)))
+        if use_split:
+            def first_map(dense):
+                zeros = jnp.zeros_like(x)
+                b_only = dense(jnp.zeros((1, 1, 2 * x.shape[-1]), x.dtype))
+                d_pm = dense(jnp.concatenate([x, -x], axis=-1))
+                d_0x = dense(jnp.concatenate([zeros, x], axis=-1))
+                if fast_order:
+                    u, v = d_pm - b_only, d_0x
+                else:
+                    u, v = d_0x - b_only, d_pm
+                return (neighbors.gather_neighbors(u, nbr_idx)
+                        + v[:, :, None, :])
+
+            msg = local_nn(None, mask=nbr_mask, train=train,
+                           bn_momentum=bn_momentum, first_map=first_map)
+        else:
+            xj = neighbors.gather_neighbors(x, nbr_idx)
+            fused = self._try_fused(x, xj, nbr_mask, train)
+            if fused is not None:
+                return cloud.with_features(fused * cloud.valid[..., None])
+            xi = x[:, :, None, :]
+            if fast_order:
+                msg = jnp.concatenate([xj, xi - xj], axis=-1)
+            else:
+                msg = jnp.concatenate(
+                    [jnp.broadcast_to(xi, xj.shape), xj - xi], axis=-1)
+            msg = local_nn(msg, mask=nbr_mask, train=train,
+                           bn_momentum=bn_momentum)
         logits = None
         if step.aggr_type in ("attend", "weighted-sum"):
             attend_nn = _maybe_attend_mlp(self.spec, step, self.dims[-1])
