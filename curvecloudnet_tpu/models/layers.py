@@ -43,7 +43,14 @@ class MaskedBatchNorm(nn.Module):
     epsilon: float = 1e-5
 
     @nn.compact
-    def __call__(self, x, mask=None, use_running_average=None, momentum=0.1):
+    def __call__(self, x, mask=None, use_running_average=None, momentum=0.1,
+                 stats_override=None, update_running=True):
+        """``stats_override=(mean, var, count)`` supplies batch statistics
+        computed externally (the streaming sa-geo train path accumulates
+        them chunk-by-chunk); they remain differentiable, so gradients
+        through the normalization are exactly the standard batch-norm
+        gradients.  ``update_running=False`` suppresses the running-stat
+        write (chunked callers update once)."""
         use_ra = nn.merge_param(
             "use_running_average", self.use_running_average, use_running_average
         )
@@ -58,17 +65,20 @@ class MaskedBatchNorm(nn.Module):
         if use_ra:
             mean, var = ra_mean.value, ra_var.value
         else:
-            xf = x.reshape(-1, c).astype(jnp.float32)
-            if mask is not None:
-                mf = mask.reshape(-1, 1).astype(jnp.float32)
-                cnt = jnp.clip(mf.sum(), min=1.0)
-                mean = (xf * mf).sum(axis=0) / cnt
-                var = ((xf - mean) ** 2 * mf).sum(axis=0) / cnt
+            if stats_override is not None:
+                mean, var, cnt = stats_override
             else:
-                cnt = jnp.float32(xf.shape[0])
-                mean = xf.mean(axis=0)
-                var = xf.var(axis=0)
-            if not self.is_initializing():
+                xf = x.reshape(-1, c).astype(jnp.float32)
+                if mask is not None:
+                    mf = mask.reshape(-1, 1).astype(jnp.float32)
+                    cnt = jnp.clip(mf.sum(), min=1.0)
+                    mean = (xf * mf).sum(axis=0) / cnt
+                    var = ((xf - mean) ** 2 * mf).sum(axis=0) / cnt
+                else:
+                    cnt = jnp.float32(xf.shape[0])
+                    mean = xf.mean(axis=0)
+                    var = xf.var(axis=0)
+            if not self.is_initializing() and update_running:
                 # torch uses the *unbiased* batch variance for running stats
                 unbiased = var * cnt / jnp.clip(cnt - 1.0, min=1.0)
                 ra_mean.value = (1 - momentum) * ra_mean.value + momentum * mean
@@ -99,12 +109,18 @@ class MLP(nn.Module):
 
     @nn.compact
     def __call__(self, x, mask=None, train: bool = False, bn_momentum=0.1,
-                 first_map=None):
+                 first_map=None, bn_stats=None, upto=None,
+                 update_running=True):
         """``first_map``, when given, replaces the first layer's plain
         ``dense(x)`` application: it receives the bound ``lin_0`` Dense and
         returns that layer's pre-activation (callers use this to
         re-associate edge-message matmuls without touching the parameter
-        tree — see EdgeConvStep)."""
+        tree — see EdgeConvStep).
+
+        Streaming-train hooks: ``bn_stats[i] = (mean, var, count)``
+        overrides layer i's batch statistics; ``upto=i`` returns layer i's
+        PRE-normalization values (stats-accumulation passes use this);
+        ``update_running=False`` suppresses running-stat writes."""
         dims = list(self.dims)
         act_fn = ACTIVATIONS[self.act]
         n_layers = len(dims) - 1
@@ -119,11 +135,16 @@ class MLP(nn.Module):
                 x = first_map(dense)
             else:
                 x = dense(x)
+            if upto is not None and i == upto:
+                return x
             if not plain:
                 if self.norm == "batch_norm":
                     x = MaskedBatchNorm(name=f"norm_{i}")(
                         x, mask=mask, use_running_average=not train,
-                        momentum=bn_momentum)
+                        momentum=bn_momentum,
+                        stats_override=(None if bn_stats is None
+                                        else bn_stats[i]),
+                        update_running=update_running)
                 x = act_fn(x)
                 if self.dropout > 0:
                     x = nn.Dropout(self.dropout, deterministic=not train)(x)

@@ -154,6 +154,12 @@ class CurveSAStep(nn.Module):
         Numerically equivalent to the materialized path (same mask fills,
         softmax reassociated) but never holds a (B, M, 2w+1, C) tensor:
         the flagship's (16k, 65, 256) intermediates disappear from HBM.
+
+        Train mode first accumulates each BatchNorm layer's masked batch
+        statistics with per-layer chunk walks (stats stay differentiable
+        functions of the parameters, so gradients equal the materialized
+        path's), writes the running stats once, then streams the forward
+        with the precomputed stats.
         """
         step = self.step
         w = self.window
@@ -166,11 +172,8 @@ class CurveSAStep(nn.Module):
         b, m = idx.shape
         out_c = self.dims[-1]
         f32 = jnp.float32
-        run_max = jnp.full((b, m, out_c), -1e30, f32)
-        denom = jnp.zeros((b, m, out_c), f32)
-        acc = jnp.zeros((b, m, out_c), f32)
 
-        for lo in range(0, total, chunk):
+        def chunk_inputs(lo):
             sz = min(chunk, total - lo)
             mask_c = mask_asc[:, :, lo:lo + sz]
             rel = (curve1d.window_chunk(pos_p, idx, lo, sz)
@@ -182,15 +185,75 @@ class CurveSAStep(nn.Module):
                     [curve1d.window_chunk(x_p, idx, lo, sz), rel], axis=-1)
             else:
                 msg = rel
+            return msg, mask_c
+
+        def accumulate_stats(layer_fn, width):
+            s = jnp.zeros((width,), f32)
+            ss = jnp.zeros((width,), f32)
+            cnt = jnp.float32(0.0)
+            for lo in range(0, total, chunk):
+                msg, mask_c = chunk_inputs(lo)
+                h = layer_fn(msg, mask_c).astype(f32)
+                mf = mask_c[..., None].astype(f32)
+                s = s + jnp.sum(h * mf, axis=(0, 1, 2))
+                ss = ss + jnp.sum(h * h * mf, axis=(0, 1, 2))
+                cnt = cnt + jnp.sum(mf)
+            cnt = jnp.clip(cnt, min=1.0)
+            mean = s / cnt
+            var = jnp.maximum(ss / cnt - mean * mean, 0.0)
+            return mean, var, cnt
+
+        stats_local = stats_att = None
+        if train:
+            n_layers = len(self.dims) - 1
+            stats_local = [None] * n_layers
+            for li in range(n_layers - 1):   # hidden layers carry BN
+                stats_local[li] = accumulate_stats(
+                    lambda msg, mc, li=li: local_nn(
+                        msg, mask=mc, train=True, bn_momentum=bn_momentum,
+                        bn_stats=stats_local, upto=li,
+                        update_running=False),
+                    self.dims[li + 1])
+            if attend_nn is not None:
+                stats_att = [None, None]
+                stats_att[0] = accumulate_stats(
+                    lambda msg, mc: attend_nn(
+                        local_nn(msg, mask=mc, train=True,
+                                 bn_momentum=bn_momentum,
+                                 bn_stats=stats_local,
+                                 update_running=False),
+                        mask=mc, train=True, bn_momentum=bn_momentum,
+                        upto=0, update_running=False),
+                    self.dims[-1])
+            # one tiny call per MLP writes the running stats from the
+            # accumulated batch statistics
+            msg0, mc0 = chunk_inputs(0)
+            tiny, mtiny = msg0[:, :1], mc0[:, :1]
+            out_t = local_nn(tiny, mask=mtiny, train=True,
+                             bn_momentum=bn_momentum, bn_stats=stats_local,
+                             update_running=True)
+            if attend_nn is not None:
+                attend_nn(out_t, mask=mtiny, train=True,
+                          bn_momentum=bn_momentum, bn_stats=stats_att,
+                          update_running=True)
+
+        run_max = jnp.full((b, m, out_c), -1e30, f32)
+        denom = jnp.zeros((b, m, out_c), f32)
+        acc = jnp.zeros((b, m, out_c), f32)
+
+        for lo in range(0, total, chunk):
+            msg, mask_c = chunk_inputs(lo)
             msg = local_nn(msg, mask=mask_c, train=train,
-                           bn_momentum=bn_momentum)
+                           bn_momentum=bn_momentum, bn_stats=stats_local,
+                           update_running=False)
             if step.aggr_type == "max":
                 hit = jnp.where(mask_c[..., None], msg.astype(f32),
                                 aggregate.MAX_FILL)
                 run_max = jnp.maximum(run_max, jnp.max(hit, axis=2))
                 continue
             logits = attend_nn(msg, mask=mask_c, train=train,
-                               bn_momentum=bn_momentum)
+                               bn_momentum=bn_momentum, bn_stats=stats_att,
+                               update_running=False)
             logits = jnp.where(mask_c[..., None], logits.astype(f32),
                                aggregate.ATTEND_FILL)
             new_max = jnp.maximum(run_max, jnp.max(logits, axis=2))
@@ -222,15 +285,21 @@ class CurveSAStep(nn.Module):
                        dtype=_dt(self.spec), name="nn")
         attend_nn = _maybe_attend_mlp(self.spec, step, self.dims[-1])
 
-        # Streaming walk of the candidate window (eval: BN uses running
-        # stats, so per-chunk application is exact).  On CPU the default
-        # stays materialized to keep golden activations bit-stable.
+        # Streaming walk of the candidate window.  Eval applies BN running
+        # stats per chunk (exact); train-mode streaming (chunked two-pass
+        # BN statistics, exact gradients) exists and is equivalence-tested,
+        # but measured SLOWER than the materialized path on v5e at B=1
+        # (236 vs 176 ms/step: the per-layer stats walks recompute more
+        # than the big tensors cost on a memory-rich chip), so the default
+        # streams only in eval; CCN_STREAM_SAGEO=force enables it for
+        # memory-constrained training.  On CPU the default stays
+        # materialized to keep golden activations bit-stable.
         stream_env = os.environ.get("CCN_STREAM_SAGEO", "auto")
-        use_stream = (not train
-                      and step.aggr_type in ("attend", "max")
+        use_stream = (step.aggr_type in ("attend", "max")
                       and stream_env != "0"
                       and (stream_env == "force"
-                           or jax.default_backend() not in ("cpu",)))
+                           or (not train
+                               and jax.default_backend() not in ("cpu",))))
         if use_stream:
             xo = self._stream(cloud, down, idx, nbr_mask, local_nn,
                               attend_nn, train, bn_momentum)

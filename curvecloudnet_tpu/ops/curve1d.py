@@ -239,13 +239,17 @@ def pad_for_window_chunks(x: jax.Array, half_w: int) -> jax.Array:
     return jnp.pad(x, ((0, 0), (half_w, half_w + 1), (0, 0)))
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
 def window_chunk(xp: jax.Array, idx: jax.Array, lo: int,
                  size: int) -> jax.Array:
     """Ascending-order sub-window ``[idx - half_w + lo, ... + size)``.
 
     ``xp`` must come from :func:`pad_for_window_chunks`.  Used by the
     streaming sa-geo path to walk the candidate window in chunks without
-    materializing the full (B, M, 2w+1, C) tensor.
+    materializing the full (B, M, 2w+1, C) tensor.  Custom VJP: XLA's
+    transpose of a slice-gather is a SERIAL per-query scatter loop (the
+    same pathology _window_slice3 guards against — ~60 ms per call at 16k);
+    instead one wide-row scatter plus ``size`` dense shifted adds.
     """
     b, np_, c = xp.shape
     dnums = jax.lax.GatherDimensionNumbers(
@@ -257,6 +261,28 @@ def window_chunk(xp: jax.Array, idx: jax.Array, lo: int,
             mode=jax.lax.GatherScatterMode.CLIP)
 
     return jax.vmap(one)(xp, idx)
+
+
+def _window_chunk_fwd(xp, idx, lo, size):
+    return window_chunk(xp, idx, lo, size), (idx, xp.shape)
+
+
+def _window_chunk_bwd(lo, size, res, g):
+    idx, xshape = res
+    b, np_, c = xshape
+    m = idx.shape[1]
+    gw = g.reshape(b, m, size * c)
+    full = jnp.zeros((b, np_, size * c), g.dtype)
+    bidx = jnp.arange(b)[:, None]
+    full = full.at[bidx, idx + lo].add(gw)
+    full = full.reshape(b, np_, size, c)
+    gxp = jnp.zeros((b, np_ + size, c), g.dtype)
+    for s in range(size):  # dense static-slice adds (no scatter)
+        gxp = gxp.at[:, s:s + np_].add(full[:, :, s])
+    return gxp[:, :np_], None
+
+
+window_chunk.defvjp(_window_chunk_fwd, _window_chunk_bwd)
 
 
 def ascending_from_interleaved(mask: jax.Array, half_w: int) -> jax.Array:

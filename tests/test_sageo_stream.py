@@ -51,3 +51,44 @@ def test_stream_matches_materialized(aggr):
                                rtol=2e-5, atol=2e-5)
     np.testing.assert_array_equal(np.asarray(out.valid),
                                   np.asarray(ref.valid))
+
+
+@pytest.mark.parametrize("aggr", ["attend", "max"])
+def test_train_stream_matches_materialized(aggr):
+    """Train mode: outputs, updated running stats, AND parameter gradients
+    must match (the chunked two-pass BN statistics are differentiable, so
+    the gradient path is mathematically identical)."""
+    mod, vs, cloud = _setup(aggr)
+    key = jax.random.PRNGKey(1)
+
+    def run(mode):
+        os.environ["CCN_STREAM_SAGEO"] = mode
+
+        def loss(params):
+            out, updates = mod.apply(
+                {"params": params, "batch_stats": vs["batch_stats"]},
+                cloud, train=True, key=key, bn_momentum=0.2,
+                mutable=["batch_stats"])
+            return jnp.sum(jnp.where(out.valid[..., None],
+                                     out.x.astype(jnp.float32), 0.0) ** 2), \
+                updates
+
+        (val, updates), grads = jax.value_and_grad(loss, has_aux=True)(
+            vs["params"])
+        os.environ["CCN_STREAM_SAGEO"] = "auto"
+        return val, updates, grads
+
+    try:
+        val_r, upd_r, g_r = run("0")
+        val_s, upd_s, g_s = run("force")
+    finally:
+        os.environ["CCN_STREAM_SAGEO"] = "auto"
+    np.testing.assert_allclose(float(val_s), float(val_r), rtol=1e-4)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-5),
+        upd_s["batch_stats"], upd_r["batch_stats"])
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-3, atol=1e-4),
+        g_s, g_r)
