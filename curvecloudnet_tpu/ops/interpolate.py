@@ -52,8 +52,12 @@ def knn_interpolate_1d(x_kept: jax.Array, kept_idx: jax.Array,
         pos_full, kept_idx, kept_valid, curve_id, valid, k
     )  # indices into the kept array
     safe = jnp.maximum(nbr, 0)
-    x_nbr = jax.vmap(lambda xb, ib: xb[ib])(x_kept, safe)  # (B, N, k, C)
-    kept_pos = gather_rows(pos_full, kept_idx)
-    p_nbr = jax.vmap(lambda pb, ib: pb[ib])(kept_pos, safe)
+    # one packed record gather (features + position) — HBM gathers charge
+    # per ROW, so combining halves the fetch cost
+    kept_pos = gather_rows(pos_full, kept_idx).astype(x_kept.dtype)
+    rec = jnp.concatenate([x_kept, kept_pos], axis=-1)  # (B, M, C+3)
+    rec_nbr = jax.vmap(lambda rb, ib: rb[ib])(rec, safe)  # (B, N, k, C+3)
+    x_nbr = rec_nbr[..., :-3]
+    p_nbr = rec_nbr[..., -3:].astype(pos_full.dtype)
     d2 = jnp.sum((p_nbr - pos_full[:, :, None, :]) ** 2, axis=-1)
     return _weighted_mean(x_nbr, d2, mask)
