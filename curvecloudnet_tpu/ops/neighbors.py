@@ -58,8 +58,13 @@ def _pick_backend(dim: int, radius, n: int) -> str:
         # nearest within r are a subset of the k nearest overall) and cheap
         # up to mid-level sizes; the grid's per-cell cap truncates dense
         # cells (tests/test_grid_recall.py), so reserve it for full-res
-        # rows where brute-force N^2 would dominate.
-        if radius is not None and n > BRUTE_MAX_N:
+        # rows where brute-force N^2 would dominate.  Exception: LARGE
+        # radii on mid-size rows (decoder sgcnn r=0.3 on the KITTI
+        # real-pad voxel-0.03 row) put ~1000+ points in one r-sized cell —
+        # far beyond any affordable cap — so those stay exact too
+        # (~30 ms vs wrong neighbors).
+        if radius is not None and n > BRUTE_MAX_N and not (
+                n <= 40960 and radius >= 0.15):
             return "grid"
         return "pallas"
     return "xla"

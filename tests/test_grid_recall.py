@@ -91,3 +91,7 @@ def test_dispatch_routes_small_rows_to_exact(monkeypatch):
     assert neighbors._pick_backend(3, 0.04,
                                    neighbors.BRUTE_MAX_N + 1) == "grid"
     assert neighbors.BRUTE_MAX_N >= 18432  # nuScenes real-pad first row
+    # large radii on mid-size rows overflow any per-cell cap (decoder
+    # sgcnn r=0.3 on the KITTI real-pad voxel row): must stay exact
+    assert neighbors._pick_backend(3, 0.3, 32768) == "pallas"
+    assert neighbors._pick_backend(3, 0.04, 65536) == "grid"
