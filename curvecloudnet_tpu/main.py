@@ -46,6 +46,8 @@ def load_datasets(cfg):
     the fallback is logged loudly.
     """
     src = cfg["dataset_source"]
+    if src == "summer-robotics":  # reference alias for the Kortx test split
+        src = "kortx"
     task = cfg.get("task", "segmentation")
     data_path = cfg.get("data_path", "")
     n_pad = int(cfg.get("n_pad", 2048 if "shapenet" in src or "kortx" in src
@@ -99,7 +101,10 @@ def load_datasets(cfg):
 
 
 def run_eval(model, variables, val_ds, info, cfg, log=print):
-    bs = int(cfg.get("eval_batch_size", 1 if info.tta else 8))
+    # lidar scenes evaluate at batch 1 regardless of TTA (reference
+    # main.py:32); small-object tasks (ShapeNet/Kortx) batch up
+    lidar_scene = info.task == "segmentation" and not info.part_iou
+    bs = int(cfg.get("eval_batch_size", 1 if lidar_scene else 8))
     max_b = cfg.get("eval_max_batches")
     if info.task == "classification":
         return T.evaluate_classification(model, variables, val_ds, info,

@@ -75,7 +75,10 @@ def task_for(dataset_source: str, task: str) -> TaskInfo:
     """Reference ``select_task`` (run_utils.py:15-43) equivalent."""
     if dataset_source in ("shapenet-seg", "shapenet") and task == "classification":
         return TASKS["shapenet-class"]
-    key = {"shapenet": "shapenet-seg"}.get(dataset_source, dataset_source)
+    key = {"shapenet": "shapenet-seg",
+           # the reference's Kortx test split loads SummerRoboticsDataset
+           # (load_utils.py:113); same task either way
+           "summer-robotics": "kortx"}.get(dataset_source, dataset_source)
     if key.startswith("synthetic-lidar"):
         return TASKS["nuscenes"]
     if key.startswith("synthetic-object"):
@@ -106,12 +109,13 @@ def make_tta_eval(model, n_views_full: bool = True,
     """
     from ..ops import telemetry
 
-    def fwd(variables, cloud, flip, scale):
+    def fwd(variables, cloud, flip, scale, categories=None):
         xy = cloud.pos[..., :2] * flip[None, None, :] * scale
         pos = jnp.concatenate([xy, cloud.pos[..., 2:]], axis=-1)
         c = cloud.replace(pos=pos)
         with telemetry.capture() as cap:
-            logits, out_valid = model.apply(variables, c, train=False,
+            logits, out_valid = model.apply(variables, c, categories,
+                                            train=False,
                                             key=jax.random.PRNGKey(0))
             stats = cap.current()
         if with_stats:
@@ -375,7 +379,8 @@ def evaluate_part_segmentation(model, variables, dataset,
         batch = to_device_batch(np_batch, task_info.task)
         logits, out_valid = fwd(variables, batch.cloud,
                                 jnp.asarray(TTA_FLIPS[0]),
-                                jnp.asarray(TTA_SCALES[0]))
+                                jnp.asarray(TTA_SCALES[0]),
+                                batch.categories)
         logits = np.asarray(logits)
         valid = np.asarray(out_valid)
         labels = np.asarray(batch.labels)

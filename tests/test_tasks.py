@@ -83,3 +83,33 @@ def test_evaluate_classification_counts(tmp_path):
     cm = np.asarray(res["confmat"])
     assert cm.sum() == 8
     assert 0.0 <= res["accuracy"] <= 1.0
+
+
+def test_part_seg_eval_threads_categories():
+    """The category-conditioned ShapeNet-seg head changes input width when
+    categories are present; the eval path must thread them through the TTA
+    wrapper (regression: r2 TPU run crashed with a ScopeParamShapeError
+    because make_tta_eval dropped them)."""
+    from curvecloudnet_tpu.data import datasets as D
+    from curvecloudnet_tpu.models import (
+        CurveCloudNet, cloud_from_arrays, parse_model_config,
+    )
+
+    mc = dict(
+        use_bias=False, version=2.0,
+        steps=[dict(step_name="mlp", feat_dims=[16, 16], with_xyz=True)],
+        out_mlp=dict(dims=[16], dropout=0.0, with_seg_category=True),
+    )
+    spec = parse_model_config(mc, in_dim=3, n_out=50)
+    assert spec.with_seg_category
+    model = CurveCloudNet(spec, n_points=64)
+    ds = D.SyntheticObjects(n_samples=6, n_pad=64, task="segmentation")
+    batch = next(D.batch_iterator(ds, 2))
+    b = D.to_device_batch(batch, "segmentation")
+    key = jax.random.PRNGKey(0)
+    vs = model.init({"params": key, "dropout": key}, b.cloud,
+                    categories=b.categories, train=False, key=key)
+    info = T.task_for("shapenet-seg", "segmentation")
+    out = T.evaluate_part_segmentation(model, vs, ds, info, batch_size=2,
+                                       max_batches=2, log=lambda *a: None)
+    assert np.isfinite(out["instance_miou"])
