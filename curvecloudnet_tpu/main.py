@@ -140,7 +140,8 @@ def run_viz(model, variables, val_ds, info, cfg, outdir, n_samples=4):
         batch = D.to_device_batch(np_batch, info.task)
         logits, out_valid = fwd(variables, batch.cloud,
                                 jnp.asarray(T.TTA_FLIPS[0]),
-                                jnp.asarray(T.TTA_SCALES[0]))
+                                jnp.asarray(T.TTA_SCALES[0]),
+                                batch.categories)
         pred = np.asarray(jnp.argmax(logits, -1))[0]
         valid = np.asarray(out_valid)[0]
         pos = np.asarray(batch.cloud.pos)[0]

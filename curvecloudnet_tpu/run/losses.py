@@ -67,12 +67,16 @@ def lovasz_softmax(probs: jax.Array, labels: jax.Array,
 
     # ONE variadic sort carries (key, fg, valid) together — an argsort plus
     # three take_along_axis calls costs 3 extra (N*C)-row gathers forward
-    # and their scatters backward (~12 ms/step at 32k x 17)
+    # and their scatters backward (~12 ms/step at 32k x 17).  The carried
+    # 0/1 operands ride as bf16 (exactly representable) to halve the sort's
+    # payload bandwidth.
     neg_sorted, fg_sorted, valid_sorted = jax.lax.sort(
-        (-errors, fgf, jnp.broadcast_to(valid[:, None], (n, c))
-         .astype(jnp.float32)),
+        (-errors, fgf.astype(jnp.bfloat16),
+         jnp.broadcast_to(valid[:, None], (n, c)).astype(jnp.bfloat16)),
         dimension=0, num_keys=1)
     errors_sorted = -neg_sorted
+    fg_sorted = fg_sorted.astype(jnp.float32)
+    valid_sorted = valid_sorted.astype(jnp.float32)
 
     gts = fgf.sum(axis=0)  # (C,)
     intersection = gts[None, :] - jnp.cumsum(fg_sorted, axis=0)
