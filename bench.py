@@ -15,7 +15,6 @@ import numpy as np
 
 
 def main():
-    n_points = int(os.environ.get("BENCH_POINTS", 32768))
     batch = int(os.environ.get("BENCH_BATCH", 1))
     iters = int(os.environ.get("BENCH_ITERS", 10))
 
@@ -32,7 +31,10 @@ def main():
         CurveCloudNet, cloud_from_arrays, parse_model_config,
     )
 
-    cfg = load_config("configs/nuscenes.yaml")
+    cfg = load_config(os.environ.get("BENCH_CONFIG", "configs/nuscenes.yaml"))
+    # honest headline: bench at the row size the shipped config actually
+    # pads to (nuscenes.yaml n_pad=36864), not a rounder power of two
+    n_points = int(os.environ.get("BENCH_POINTS", cfg.get("n_pad", 36864)))
     # bfloat16 matmul compute (f32 params/statistics) is standard TPU
     # practice; BENCH_DTYPE=float32 reproduces the strict-f32 number.
     cfg["model"]["compute_dtype"] = os.environ.get("BENCH_DTYPE", "bfloat16")

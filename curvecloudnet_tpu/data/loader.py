@@ -48,16 +48,34 @@ class PrefetchLoader:
 
         return process_shard_range(len(self.dataset))
 
+    def _shard_len(self) -> int:
+        if not self.shard_by_process:
+            return len(self.dataset)
+        # Lockstep SPMD requires every process to run the SAME number of
+        # steps per epoch (unequal shards deadlock at the epoch boundary),
+        # so the global order is wrap-padded to process_count * per before
+        # slicing — every shard has exactly `per` items.
+        import jax
+
+        return -(-len(self.dataset) // jax.process_count())
+
     def __len__(self):
-        n = len(self._shard())
+        n = self._shard_len()
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
     def _batch_indices(self, epoch_seed: int):
         order = np.arange(len(self.dataset))
         if self.shuffle:
             np.random.default_rng(epoch_seed).shuffle(order)
-        shard = self._shard()
-        order = order[shard.start:shard.stop]
+        if self.shard_by_process:
+            import jax
+
+            per = self._shard_len()
+            pad = per * jax.process_count() - len(order)
+            if pad:
+                order = np.concatenate([order, order[:pad]])
+            p = jax.process_index()
+            order = order[p * per:(p + 1) * per]
         stop = (len(order) - self.batch_size + 1 if self.drop_last
                 else len(order))
         for s in range(0, max(stop, 0), self.batch_size):

@@ -101,12 +101,6 @@ class CurveCloudNet(nn.Module):
                  *, train: bool = False, bn_momentum: float = 0.1,
                  key: Optional[jax.Array] = None) -> jax.Array:
         spec = self.spec
-        full_valid = cloud.valid
-
-        # trace-time histories, mirroring the reference state dict
-        input_clouds = []          # input cloud of each step (index = step)
-        down_skips = []            # step indices pushed by downsampling steps
-        prop_skips = []            # step indices pushed for skip-connect
         n_now = self.n_points      # current static row size
 
         # one exact neighbor table per resolution row, shared by every 3D
@@ -114,10 +108,53 @@ class CurveCloudNet(nn.Module):
         # tells us every consumer's radius per row, so each table build can
         # be radius-bounded (the Pallas kernel seeds its pruning threshold
         # with bound^2 and skips candidate blocks with nothing inside it).
-        from ..ops import neighbors as _nbrs
         row_bounds = _row_radius_bounds(spec)
-        knn_scope = _nbrs.shared_knn_scope()
-        knn_scope.__enter__()
+        cloud, n_now = self._apply_steps(
+            spec, cloud, row_bounds, n_now, train=train,
+            bn_momentum=bn_momentum, key=key)
+
+        x = cloud.x
+
+        from .modules import _dt
+
+        # ShapeNet-seg per-point category embedding (reference base.py:149-153)
+        if spec.with_seg_category and categories is not None:
+            cats = jax.nn.one_hot(categories, spec.n_categories)  # (B, 16)
+            cats = MLP((spec.n_categories, 64, 64), dtype=_dt(spec),
+                       name="lin_categorical")(
+                cats[:, None, :], train=train, bn_momentum=bn_momentum)
+            cats = jnp.broadcast_to(cats, (x.shape[0], x.shape[1], 64))
+            x = jnp.concatenate([x, cats], axis=-1)
+
+        if not spec.identity_head:
+            head_in = spec.steps[-1].feat_dims[-1] + (
+                64 if spec.with_seg_category else 0)
+            head_dims = (head_in,) + spec.out_mlp_dims + (spec.n_out,)
+            x = MLP(head_dims, dropout=spec.out_mlp_dropout,
+                    use_bias=spec.use_bias, dtype=_dt(spec), name="mlp")(
+                x, mask=cloud.valid, train=train, bn_momentum=bn_momentum)
+        return x, cloud.valid
+
+    def _apply_steps(self, spec, cloud, row_bounds, n_now, *, train,
+                     bn_momentum, key):
+        """Run the step sequence under a shared-kNN-table scope.
+
+        The ``with`` guarantees the module-global table cache is restored
+        even when a step raises during trace (a leaked cache would hold
+        stale tracers into the next trace of this process).
+        """
+        from ..ops import neighbors as _nbrs
+
+        with _nbrs.shared_knn_scope():
+            return self._run_steps(spec, cloud, row_bounds, n_now,
+                                   train=train, bn_momentum=bn_momentum,
+                                   key=key)
+
+    def _run_steps(self, spec, cloud, row_bounds, n_now, *, train,
+                   bn_momentum, key):
+        input_clouds = []
+        down_skips = []
+        prop_skips = []
         for i, step in enumerate(spec.steps):
             dims = spec.input_dim(i)
             input_clouds.append(cloud)
@@ -174,29 +211,7 @@ class CurveCloudNet(nn.Module):
                 down_skips.append(i)
             if step.name in spec.skip_connect_state_store:
                 prop_skips.append(i)
-        knn_scope.__exit__()
-
-        x = cloud.x
-
-        from .modules import _dt
-
-        # ShapeNet-seg per-point category embedding (reference base.py:149-153)
-        if spec.with_seg_category and categories is not None:
-            cats = jax.nn.one_hot(categories, spec.n_categories)  # (B, 16)
-            cats = MLP((spec.n_categories, 64, 64), dtype=_dt(spec),
-                       name="lin_categorical")(
-                cats[:, None, :], train=train, bn_momentum=bn_momentum)
-            cats = jnp.broadcast_to(cats, (x.shape[0], x.shape[1], 64))
-            x = jnp.concatenate([x, cats], axis=-1)
-
-        if not spec.identity_head:
-            head_in = spec.steps[-1].feat_dims[-1] + (
-                64 if spec.with_seg_category else 0)
-            head_dims = (head_in,) + spec.out_mlp_dims + (spec.n_out,)
-            x = MLP(head_dims, dropout=spec.out_mlp_dropout,
-                    use_bias=spec.use_bias, dtype=_dt(spec), name="mlp")(
-                x, mask=cloud.valid, train=train, bn_momentum=bn_momentum)
-        return x, cloud.valid
+        return cloud, n_now
 
     @staticmethod
     def final_valid(cloud: Cloud) -> jax.Array:

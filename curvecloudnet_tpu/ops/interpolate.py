@@ -15,6 +15,31 @@ from . import neighbors as nbr_ops
 from .sampling import gather_rows
 
 
+def _pack_f32_as_2bf16(p: jax.Array) -> jax.Array:
+    """Bit-split (..., C) float32 into (..., 2C) bfloat16 (hi|lo halves).
+
+    Gathers move bits, not values, so packing positions this way lets a
+    bf16 feature record carry EXACT f32 coordinates through one combined
+    row gather.  (Casting positions to bf16 instead loses ~8 mantissa bits
+    of the absolute coordinate, which catastrophically cancels in
+    ``p_nbr - pos`` at lidar scales — see ADVICE r2.)
+    """
+    u = jax.lax.bitcast_convert_type(p, jnp.uint32)
+    hi = jax.lax.bitcast_convert_type((u >> 16).astype(jnp.uint16),
+                                      jnp.bfloat16)
+    lo = jax.lax.bitcast_convert_type((u & 0xFFFF).astype(jnp.uint16),
+                                      jnp.bfloat16)
+    return jnp.concatenate([hi, lo], axis=-1)
+
+
+def _unpack_2bf16_as_f32(rec: jax.Array) -> jax.Array:
+    """Inverse of :func:`_pack_f32_as_2bf16` ((..., 2C) bf16 -> (..., C) f32)."""
+    c = rec.shape[-1] // 2
+    hi = jax.lax.bitcast_convert_type(rec[..., :c], jnp.uint16).astype(jnp.uint32)
+    lo = jax.lax.bitcast_convert_type(rec[..., c:], jnp.uint16).astype(jnp.uint32)
+    return jax.lax.bitcast_convert_type((hi << 16) | lo, jnp.float32)
+
+
 def _weighted_mean(x_nbr, d2, mask):
     """Inverse-d^2 weighted mean over the K axis with validity mask."""
     w = 1.0 / jnp.clip(d2, min=1e-16)
@@ -53,11 +78,24 @@ def knn_interpolate_1d(x_kept: jax.Array, kept_idx: jax.Array,
     )  # indices into the kept array
     safe = jnp.maximum(nbr, 0)
     # one packed record gather (features + position) — HBM gathers charge
-    # per ROW, so combining halves the fetch cost
-    kept_pos = gather_rows(pos_full, kept_idx).astype(x_kept.dtype)
-    rec = jnp.concatenate([x_kept, kept_pos], axis=-1)  # (B, M, C+3)
-    rec_nbr = jax.vmap(lambda rb, ib: rb[ib])(rec, safe)  # (B, N, k, C+3)
-    x_nbr = rec_nbr[..., :-3]
-    p_nbr = rec_nbr[..., -3:].astype(pos_full.dtype)
-    d2 = jnp.sum((p_nbr - pos_full[:, :, None, :]) ** 2, axis=-1)
-    return _weighted_mean(x_nbr, d2, mask)
+    # per ROW, so combining halves the fetch cost.  Positions must survive
+    # the pack at full f32 precision (bf16 absolute coordinates cancel
+    # catastrophically in p_nbr - pos at lidar scales), so in the bf16 path
+    # they ride along as exact bit-split hi/lo bf16 pairs.
+    kept_pos = gather_rows(pos_full, kept_idx)
+    pos_q = pos_full.astype(jnp.float32)
+    if x_kept.dtype == jnp.float32:
+        rec = jnp.concatenate(
+            [x_kept, kept_pos.astype(jnp.float32)], axis=-1)  # (B, M, C+3)
+        rec_nbr = jax.vmap(lambda rb, ib: rb[ib])(rec, safe)
+        x_nbr = rec_nbr[..., :-3]
+        p_nbr = rec_nbr[..., -3:]
+    else:
+        packed = _pack_f32_as_2bf16(kept_pos.astype(jnp.float32))  # (B, M, 6)
+        rec = jnp.concatenate(
+            [x_kept.astype(jnp.bfloat16), packed], axis=-1)  # (B, M, C+6)
+        rec_nbr = jax.vmap(lambda rb, ib: rb[ib])(rec, safe)
+        x_nbr = rec_nbr[..., :-6]
+        p_nbr = _unpack_2bf16_as_f32(rec_nbr[..., -6:])
+    d2 = jnp.sum((p_nbr - pos_q[:, :, None, :]) ** 2, axis=-1)
+    return _weighted_mean(x_nbr, d2, mask).astype(x_kept.dtype)

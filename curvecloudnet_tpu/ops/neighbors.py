@@ -248,7 +248,10 @@ def _row_table(pos: jax.Array, valid: jax.Array,
     """
     if _TABLE_CACHE is None or pos.shape[1] > TABLE_MAX_N:
         return None
-    key = (id(pos), id(valid))
+    # the bound is part of the key: a consumer passing a different (e.g.
+    # larger or None) bound for the same row must NOT silently read a table
+    # truncated at the first consumer's radius
+    key = (id(pos), id(valid), None if bound is None else float(bound))
     hit = _TABLE_CACHE.get(key)
     if hit is not None and hit[0] is pos and hit[1] is valid:
         return hit[2]

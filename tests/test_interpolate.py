@@ -64,3 +64,41 @@ def test_knn_interpolate_1d_exact_on_kept_points(rng):
     for s, src in enumerate(kept_idx[0]):
         np.testing.assert_allclose(out[0, src], xk[0, s], rtol=1e-4,
                                    atol=1e-4)
+
+
+def test_pack_f32_as_2bf16_roundtrip_is_exact(rng):
+    from curvecloudnet_tpu.ops.interpolate import (_pack_f32_as_2bf16,
+                                                   _unpack_2bf16_as_f32)
+
+    p = (rng.normal(size=(4, 9, 3)) * 100).astype(np.float32)
+    back = np.asarray(_unpack_2bf16_as_f32(_pack_f32_as_2bf16(jnp.asarray(p))))
+    np.testing.assert_array_equal(back, p)
+
+
+def test_knn_interpolate_1d_bf16_lidar_scale_weights(rng):
+    """bf16 features must NOT quantize positions: at lidar coordinate
+    scales (~50 m offsets, ~0.1 m spacing) a bf16 absolute coordinate
+    catastrophically cancels in p_nbr - pos (ADVICE r2 medium).  The bf16
+    path carries positions as exact bit-split pairs, so inverse-d^2
+    weights must match the f32 path."""
+    from curvecloudnet_tpu.ops import interpolate as I
+
+    n = 64
+    base = np.array([53.7, -41.2, 3.9], np.float32)
+    pos = (base + np.cumsum(rng.normal(scale=0.08, size=(1, n, 3)),
+                            axis=1)).astype(np.float32)
+    cid = np.zeros((1, n), np.int32)
+    valid = np.ones((1, n), bool)
+    kept_idx = np.arange(0, n, 3, dtype=np.int32)[None]
+    kept_valid = np.ones_like(kept_idx, bool)
+    xk32 = rng.normal(size=(1, kept_idx.shape[1], 8)).astype(np.float32)
+
+    out32 = np.asarray(I.knn_interpolate_1d(
+        jnp.asarray(xk32), jnp.asarray(kept_idx), jnp.asarray(kept_valid),
+        jnp.asarray(pos), jnp.asarray(cid), jnp.asarray(valid), k=3))
+    out16 = np.asarray(I.knn_interpolate_1d(
+        jnp.asarray(xk32).astype(jnp.bfloat16), jnp.asarray(kept_idx),
+        jnp.asarray(kept_valid), jnp.asarray(pos), jnp.asarray(cid),
+        jnp.asarray(valid), k=3).astype(jnp.float32))
+    # the only error allowed is the bf16 quantization of the FEATURES
+    np.testing.assert_allclose(out16, out32, rtol=2e-2, atol=2e-2)

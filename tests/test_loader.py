@@ -46,8 +46,12 @@ def test_multihost_sharding_partitions_epoch(monkeypatch):
         idxs = [int(i) for b in loader._batch_indices(7) for i in b]
         shards.append(idxs)
         assert len(loader) == -(-len(idxs) // 2)
-    assert not (set(shards[0]) & set(shards[1]))
-    assert sorted(shards[0] + shards[1]) == list(range(17))
+    # lockstep SPMD: all shards the same length (order wrap-padded), and the
+    # union still covers the whole epoch (at most `pad` duplicates)
+    assert len(shards[0]) == len(shards[1]) == 9
+    assert set(shards[0] + shards[1]) == set(range(17))
+    dup = len(shards[0] + shards[1]) - 17
+    assert dup == 1  # ceil(17/2)*2 - 17
 
 
 def test_single_process_shard_is_identity():
