@@ -120,8 +120,10 @@ class CurveCloudNet(nn.Module):
         # ShapeNet-seg per-point category embedding (reference base.py:149-153)
         if spec.with_seg_category and categories is not None:
             cats = jax.nn.one_hot(categories, spec.n_categories)  # (B, 16)
-            cats = MLP((spec.n_categories, 64, 64), dtype=_dt(spec),
-                       name="lin_categorical")(
+            # reference base.py:60 builds this MLP with torch_geometric's
+            # default bias=True regardless of the model-wide use_bias flag
+            cats = MLP((spec.n_categories, 64, 64), use_bias=True,
+                       dtype=_dt(spec), name="lin_categorical")(
                 cats[:, None, :], train=train, bn_momentum=bn_momentum)
             cats = jnp.broadcast_to(cats, (x.shape[0], x.shape[1], 64))
             x = jnp.concatenate([x, cats], axis=-1)

@@ -25,7 +25,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..ops import aggregate, curve1d, interpolate, neighbors, sampling, segments
+from ..ops import (aggregate, curve1d, interpolate, neighbors, sampling,
+                   segments, telemetry)
 from .cloud import Cloud
 from .layers import MLP, MaskedBatchNorm, leaky_relu
 from .spec import ModelSpec, StepSpec
@@ -575,18 +576,49 @@ class SymmetricCurveConvStep(nn.Module):
         x = cloud.xyz_concat(step.with_xyz)
         half_k = (step.kernel_size or 5) // 2
         cid, valid = cloud.curve_id, cloud.valid
+        if self.v1 or half_k == 0:
+            # V1 re-stuffs zeros between curves before EVERY conv
+            # (fast_conv1d.py:136-141), so each curve convolves
+            # independently — same-curve masked windows are exact.
+            for i in range(1, len(self.dims)):
+                if step.with_diff and (self.v1 or i == 1):
+                    diff = curve1d.feature_diffs(x, cid, valid)
+                    x = jnp.concatenate([x, diff], axis=-1)
+                xw = curve1d.symmetric_window_concat(x, cid, valid, half_k)
+                x = nn.Dense(self.dims[i], use_bias=True,
+                             dtype=_dt(self.spec), name=f"conv_{i-1}")(xw)
+                x = MaskedBatchNorm(name=f"norm_{i-1}")(
+                    x, mask=valid, use_running_average=not train,
+                    momentum=bn_momentum)
+                x = leaky_relu(x)
+            x = x * valid[..., None]
+            return cloud.with_features(x)
+
+        # V2 keeps ONE zero-stuffed sequence through all layers
+        # (fast_conv1d.py:49-74): gap slots develop non-zero values (bias/
+        # BN/activation of boundary neighborhoods) that feed curve-boundary
+        # points from the second conv on, and BN statistics include the gap
+        # slots.  Reproduced exactly via the gap-expanded layout.
+        nconvs = len(self.dims) - 1
+        pad = half_k * nconvs
+        exp_idx, n_exp, mask_exp, overflow = curve1d.gap_expand_indices(
+            cid, valid, pad, self.spec.curve_budget)
+        telemetry.record(f"{self.name}/curve_budget_overflow",
+                         jnp.sum(overflow))
+        if step.with_diff:
+            diff = curve1d.feature_diffs(x, cid, valid)
+            x = jnp.concatenate([x, diff], axis=-1)
+        xe = curve1d.gap_scatter(x * valid[..., None].astype(x.dtype),
+                                 exp_idx, n_exp)
         for i in range(1, len(self.dims)):
-            if step.with_diff and (self.v1 or i == 1):
-                diff = curve1d.feature_diffs(x, cid, valid)
-                x = jnp.concatenate([x, diff], axis=-1)
-            xw = curve1d.symmetric_window_concat(x, cid, valid, half_k)
-            x = nn.Dense(self.dims[i], use_bias=True, dtype=_dt(self.spec),
+            xw = curve1d.window_concat_nomask(xe, half_k)
+            xe = nn.Dense(self.dims[i], use_bias=True, dtype=_dt(self.spec),
                          name=f"conv_{i-1}")(xw)
-            x = MaskedBatchNorm(name=f"norm_{i-1}")(
-                x, mask=valid, use_running_average=not train,
+            xe = MaskedBatchNorm(name=f"norm_{i-1}")(
+                xe, mask=mask_exp, use_running_average=not train,
                 momentum=bn_momentum)
-            x = leaky_relu(x)
-        x = x * valid[..., None]
+            xe = leaky_relu(xe) * mask_exp[..., None].astype(xe.dtype)
+        x = curve1d.gap_gather(xe, exp_idx, valid)
         return cloud.with_features(x)
 
 

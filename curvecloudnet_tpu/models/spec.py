@@ -127,6 +127,10 @@ class ModelSpec:
     # "float32" or "bfloat16": matmul compute dtype (params stay float32;
     # BatchNorm statistics and reductions stay float32)
     compute_dtype: str = "float32"
+    # static per-row curve-count budget for the conv1d-fast-v2 gap layout
+    # (reference fast_conv1d.py:49-74 zero-stuffs every curve boundary);
+    # rows with more curves lose gaps between the excess (telemetry counts)
+    curve_budget: int = 2048
 
     def input_dim(self, i: int) -> Tuple[int, ...]:
         """Per-step MLP dims incl. inferred input width (base.py:66-84)."""
@@ -245,5 +249,6 @@ def parse_model_config(model_cfg: dict, in_dim: int, n_out: int) -> ModelSpec:
             model_cfg.get("skip_connect_state_store", ())
         ),
         identity_head=identity,
+        curve_budget=int(model_cfg.get("curve_budget", 2048)),
         compute_dtype=model_cfg.get("compute_dtype", "float32"),
     )

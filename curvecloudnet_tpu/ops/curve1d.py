@@ -413,3 +413,75 @@ def symmetric_window_concat(x: jax.Array, curve_id: jax.Array,
             shift_fill(x, -d) * m_minus.astype(x.dtype)
         parts.append(s)
     return jnp.concatenate(parts, axis=-1)
+
+
+def window_concat_nomask(x: jax.Array, half_k: int) -> jax.Array:
+    """[x_0, x_{-1}+x_{+1}, ..., x_{-h}+x_{+h}] with plain zero-fill shifts.
+
+    For the gap-expanded conv layout (see :func:`gap_expand_indices`) the
+    inter-curve zero stuffing already isolates curves, so no same-curve
+    masks are needed — each part is two aligned row shifts.
+    """
+    parts = [x]
+    for d in range(1, half_k + 1):
+        parts.append(shift_fill(x, d) + shift_fill(x, -d))
+    return jnp.concatenate(parts, axis=-1)
+
+
+def gap_expand_indices(curve_id: jax.Array, valid: jax.Array, pad: int,
+                       curve_budget: int):
+    """Index map into the reference's zero-stuffed conv sequence.
+
+    Reference SymmetricCurve1DConvV2 (fast_conv1d.py:49-74) inserts
+    ``pad = (k//2) * nconvs`` zero slots at every curve boundary INCLUDING
+    the row ends and keeps ONE padded vector through all conv layers — gap
+    slots develop non-zero values (bias/BN/activation of boundary
+    neighborhoods) that feed back into curve-boundary points from the
+    second conv on.  This helper lays each padded row out as
+    ``[gap, curve_0, gap, curve_1, ..., gap]`` with static size
+    ``N + pad * (curve_budget + 1)``.
+
+    Returns (exp_idx (B, N) int32, n_exp, mask_exp (B, N_exp) bool,
+    overflow (B,) int32).  Rows with more than ``curve_budget`` curves lose
+    the gaps between the excess curves (those boundaries behave like the
+    masked-window approximation); ``overflow`` counts the excess for
+    telemetry.
+    """
+    b, n = curve_id.shape
+    # +2: room for the final gap even when every curve slot is used
+    n_exp = n + pad * (curve_budget + 2)
+    starts = segments.curve_starts(curve_id, valid) & valid
+    rank = jnp.cumsum(starts.astype(jnp.int32), axis=-1) - 1   # (B, N)
+    rank = jnp.clip(rank, 0, curve_budget)
+    exp_idx = (jnp.arange(n, dtype=jnp.int32)[None, :]
+               + pad * (rank + 1)).astype(jnp.int32)
+    exp_idx = jnp.where(valid, exp_idx, n_exp)  # scatter-drop for padding
+
+    n_curves = jnp.sum(starts, axis=-1).astype(jnp.int32)      # (B,)
+    used = (jnp.sum(valid, axis=-1).astype(jnp.int32)
+            + pad * (jnp.minimum(n_curves, curve_budget + 1) + 1))
+    mask_exp = (jnp.arange(n_exp, dtype=jnp.int32)[None, :]
+                < used[:, None])
+    overflow = jnp.maximum(n_curves - 1 - curve_budget, 0)
+    return exp_idx, n_exp, mask_exp, overflow
+
+
+def gap_scatter(x: jax.Array, exp_idx: jax.Array, n_exp: int) -> jax.Array:
+    """Scatter (B, N, C) rows into the (B, N_exp, C) gap layout (zeros
+    elsewhere); out-of-range rows (padding) drop."""
+    b, n, c = x.shape
+
+    def one(xb, ib):
+        return jnp.zeros((n_exp, c), x.dtype).at[ib].set(
+            xb, mode="drop")
+
+    return jax.vmap(one)(x, exp_idx)
+
+
+def gap_gather(x_exp: jax.Array, exp_idx: jax.Array,
+               valid: jax.Array) -> jax.Array:
+    """Gather valid rows back out of the gap layout ((B, N_exp, C) ->
+    (B, N, C)); padding rows read zeros."""
+    safe = jnp.where(valid, exp_idx, 0)
+    out = jax.vmap(lambda xb, ib: xb[ib])(x_exp, safe)
+    return out * valid[..., None].astype(out.dtype)
