@@ -154,6 +154,214 @@ def _knn_kernel(q_ref, p_ref, qv_ref, pv_ref, dist_ref, idx_ref, *,
     idx_ref[:] = jnp.where(good, best_i, -1)
 
 
+def _knn_kernel_aabb(q_ref, p_ref, qv_ref, lo_ref, hi_ref, dist_ref, idx_ref,
+                     *, k: int, tile_q: int, tile_n: int,
+                     n_total: int, q_total: int, r2init: float):
+    """AABB-gated variant: per-candidate-block bounding boxes let the kernel
+    skip the whole (TQ, TN) distance pass, not just the extraction.
+
+    Scan order is spatially coherent (a block of contiguous rows is a beam
+    arc), so block AABBs are compact and most blocks prune against the
+    running kth-best threshold.  lo/hi: (nblk, 3) per-block mins/maxes.
+    Invalid points carry sentinel coords (set by the wrapper), so no pv
+    plane is needed — their distances are ~1e30 and never selected.
+    """
+    qx = q_ref[0, :][:, None]         # (TQ, 1)
+    qy = q_ref[1, :][:, None]
+    qz = q_ref[2, :][:, None]
+    qv = qv_ref[0, :][:, None]        # (TQ, 1)
+    num_blocks = n_total // tile_n
+
+    low_mask = tile_n - 1
+    sent_blk = jnp.int32((0x7F800000 | low_mask))
+    col = jax.lax.broadcasted_iota(jnp.int32, (tile_q, tile_n), 1)
+
+    two_k = 2 * k
+    pw = 1
+    while pw < two_k:
+        pw *= 2
+    pmask = pw - 1
+    sent_mrg = jnp.int32(0x7F800000 | pmask)
+    pos_iota = jax.lax.broadcasted_iota(jnp.int32, (tile_q, two_k), 1)
+    slot = jax.lax.broadcasted_iota(jnp.int32, (tile_q, k), 1)
+
+    qstart = pl.program_id(0) * tile_q
+    center = ((qstart + tile_q // 2) * num_blocks) // q_total
+
+    # per-(query, block) distance lower bound: dist(q, AABB_b)^2 as a
+    # (TQ, nblk) value — the per-block gate is then one fused masked
+    # compare against the (TQ, 1) threshold (nblk is small, so scanning
+    # all lanes each block costs ~nothing and avoids any transpose)
+    lane3 = jax.lax.broadcasted_iota(jnp.int32, (num_blocks, 3), 1)
+    dlb = jnp.zeros((tile_q, num_blocks), jnp.float32)
+    for a, qcol in ((0, qx), (1, qy), (2, qz)):
+        sel = lane3 == a
+        lo_a = jnp.min(jnp.where(sel, lo_ref[:], _INF), axis=1)[None, :]
+        hi_a = jnp.max(jnp.where(sel, hi_ref[:], -_INF), axis=1)[None, :]
+        e = jnp.maximum(jnp.maximum(lo_a - qcol, qcol - hi_a), 0.0)
+        dlb = dlb + e * e                      # (TQ, nblk)
+    blk_lane = jax.lax.broadcasted_iota(jnp.int32, (tile_q, num_blocks), 1)
+
+    def extract_block(d2, base, best_d, best_i):
+        bits = jax.lax.bitcast_convert_type(d2, jnp.int32)
+        packed = jnp.bitwise_or(
+            jnp.bitwise_and(bits, jnp.int32(~low_mask)), col)
+
+        def round_body(j, st):
+            cand, packed = st
+            m = jnp.min(packed, axis=-1, keepdims=True)
+            cand = jnp.where(slot == j, m, cand)
+            packed = jnp.where(packed == m, sent_blk, packed)
+            return cand, packed
+
+        cand = jnp.full((tile_q, k), sent_blk, jnp.int32)
+        cand, _ = jax.lax.fori_loop(0, k, round_body, (cand, packed))
+        cand_d = jax.lax.bitcast_convert_type(
+            jnp.bitwise_and(cand, jnp.int32(~low_mask)), jnp.float32)
+        cand_i = base + jnp.bitwise_and(cand, jnp.int32(low_mask))
+
+        all_d = jnp.concatenate([best_d, cand_d], axis=-1)
+        all_i = jnp.concatenate([best_i, cand_i], axis=-1)
+        mb = jnp.bitwise_or(
+            jnp.bitwise_and(
+                jax.lax.bitcast_convert_type(all_d, jnp.int32),
+                jnp.int32(~pmask)),
+            pos_iota)
+
+        def merge_body(j, st):
+            new_d, new_i, mb = st
+            m = jnp.min(mb, axis=-1, keepdims=True)
+            pos = jnp.bitwise_and(m, jnp.int32(pmask))
+            dval = jax.lax.bitcast_convert_type(
+                jnp.bitwise_and(m, jnp.int32(~pmask)), jnp.float32)
+            ival = jnp.sum(jnp.where(pos_iota == pos, all_i, 0),
+                           axis=-1, keepdims=True)
+            sel = slot == j
+            new_d = jnp.where(sel, dval, new_d)
+            new_i = jnp.where(sel, ival, new_i)
+            mb = jnp.where(mb == m, sent_mrg, mb)
+            return new_d, new_i, mb
+
+        new_d = jnp.full((tile_q, k), _INF, jnp.float32)
+        new_i = jnp.full((tile_q, k), -1, jnp.int32)
+        new_d, new_i, _ = jax.lax.fori_loop(0, k, merge_body,
+                                            (new_d, new_i, mb))
+        return new_d, new_i
+
+    def body(s, carry):
+        best_d, best_i, t = carry     # (TQ,K), (TQ,K), (TQ,1)
+        off = (s + 1) // 2 * (1 - 2 * (s % 2))
+        b = jax.lax.rem(center + off + num_blocks * (s + 1), num_blocks)
+        # per-query gate: the block's AABB lower bound must beat SOME
+        # query's kth-best-so-far
+        hit_aabb = jnp.any((dlb < t) & (blk_lane == b))
+
+        def with_dist(args):
+            best_d, best_i, t = args
+            sl = pl.ds(b * tile_n, tile_n)
+            px = p_ref[0, sl][None, :]
+            py = p_ref[1, sl][None, :]
+            pz = p_ref[2, sl][None, :]
+            d2 = (qx - px) ** 2 + (qy - py) ** 2 + (qz - pz) ** 2
+            hit = jnp.any(d2 < t)
+
+            def with_extract(args):
+                best_d, best_i = args
+                new_d, new_i = extract_block(d2, b * tile_n, best_d, best_i)
+                new_t = jnp.minimum(
+                    jnp.max(new_d, axis=-1, keepdims=True),
+                    jnp.float32(r2init))
+                new_t = jnp.where(qv > 0, new_t, -_INF)
+                return new_d, new_i, new_t
+
+            return jax.lax.cond(
+                hit, with_extract, lambda a: (a[0], a[1], t),
+                (best_d, best_i))
+
+        best_d, best_i, t = jax.lax.cond(
+            hit_aabb, with_dist, lambda a: a, (best_d, best_i, t))
+        return best_d, best_i, t
+
+    init_d = jnp.full((tile_q, k), _INF, jnp.float32)
+    init_i = jnp.full((tile_q, k), -1, jnp.int32)
+    init_t = jnp.where(qv > 0, jnp.float32(r2init), -_INF)
+    best_d, best_i, _ = jax.lax.fori_loop(
+        0, num_blocks, body, (init_d, init_i, init_t))
+
+    good = (best_d < _GOOD_MAX) & (qv > 0)
+    dist_ref[:] = jnp.where(good, jnp.sqrt(jnp.maximum(best_d, 0.0)), _INF)
+    idx_ref[:] = jnp.where(good, best_i, -1)
+
+
+_SENTINEL = 1e15  # invalid-point coordinate (d2 ~ 1e30 >= _GOOD_MAX)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "radius", "tile_q",
+                                             "tile_n", "interpret"))
+def knn_pallas_single_aabb(query, points, q_valid, p_valid, k: int,
+                           radius: float | None = None, tile_q: int = 256,
+                           tile_n: int | None = None,
+                           interpret: bool = False):
+    """AABB-gated exact kNN (single sample).  Same contract as
+    :func:`knn_pallas_single`; preferred at every size on TPU — scan-order
+    candidate blocks have compact bounding boxes, so most blocks skip even
+    their distance pass (the v2 kernel's per-block floor)."""
+    q_n, n = query.shape[0], points.shape[0]
+    if tile_n is None:
+        tile_n = _pow2_at_least(n, 512, 2048)
+    qp = _round_up(q_n, tile_q)
+    npad = _round_up(n, tile_n)
+    nblk = npad // tile_n
+
+    pts = jnp.where(p_valid[:, None], points.astype(jnp.float32), _SENTINEL)
+    pts = jnp.pad(pts, ((0, npad - n), (0, 0)),
+                  constant_values=_SENTINEL)                 # (NP, 3)
+    lo = jnp.min(pts.reshape(nblk, tile_n, 3), axis=1)       # (nblk, 3)
+    hi = jnp.max(pts.reshape(nblk, tile_n, 3), axis=1)
+
+    qT = jnp.pad(query.astype(jnp.float32), ((0, qp - q_n), (0, 0))).T
+    pT = pts.T                                               # (3, NP)
+    qv = jnp.pad(q_valid.astype(jnp.float32), (0, qp - q_n))[None, :]
+
+    r2init = _INF if radius is None else float(radius) * float(radius)
+    kernel = functools.partial(_knn_kernel_aabb, k=k, tile_q=tile_q,
+                               tile_n=tile_n, n_total=npad, q_total=qp,
+                               r2init=r2init)
+    dist, idx = pl.pallas_call(
+        kernel,
+        grid=(qp // tile_q,),
+        in_specs=[
+            pl.BlockSpec((3, tile_q), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, npad), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_q), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nblk, 3), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nblk, 3), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tile_q, k), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_q, k), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((qp, k), jnp.float32),
+            jax.ShapeDtypeStruct((qp, k), jnp.int32),
+        ],
+        interpret=interpret,
+    )(qT, pT, qv, lo, hi)
+    dist, idx = dist[:q_n], idx[:q_n]
+    if radius is not None:
+        keep = dist <= radius
+        idx = jnp.where(keep, idx, -1)
+        dist = jnp.where(keep, dist, _INF)
+    return idx, dist
+
+
 def _round_up(x, m):
     return -(-x // m) * m
 
@@ -225,8 +433,23 @@ def knn_pallas_single(query, points, q_valid, p_valid, k: int,
 def knn_pallas(query, points, q_valid, p_valid, k: int,
                radius: float | None = None, interpret: bool = False):
     """Batched Pallas kNN with the same signature as ops.neighbors.knn."""
+    import os
+
     k_eff = min(k, points.shape[1])
-    fn = functools.partial(knn_pallas_single, k=k_eff, radius=radius,
-                           interpret=interpret)
+    # "aabb" (per-block bounding-box gates) measured NEUTRAL vs "v2" at
+    # every size and radius on v5e (r3 sweeps: 15.2 vs 14.3 ms at 18432
+    # k=32; identical at 32768 r=0.3) and fails Mosaic compile at >=64
+    # blocks — per-block conds cost ~us each on this stack, so skipping a
+    # distance pass saves less than the gate costs.  Kept for study.
+    variant = os.environ.get("CCN_KNN_VARIANT", "v2")
+    single = {"v2": knn_pallas_single,
+              "aabb": knn_pallas_single_aabb}[variant]
+    kw = {}
+    if os.environ.get("CCN_KNN_TQ"):
+        kw["tile_q"] = int(os.environ["CCN_KNN_TQ"])
+    if os.environ.get("CCN_KNN_TN"):
+        kw["tile_n"] = int(os.environ["CCN_KNN_TN"])
+    fn = functools.partial(single, k=k_eff, radius=radius,
+                           interpret=interpret, **kw)
     idx, dist = jax.vmap(fn)(query, points, q_valid, p_valid)
     return idx, dist

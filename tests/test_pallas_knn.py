@@ -8,6 +8,13 @@ from curvecloudnet_tpu.ops import neighbors
 from curvecloudnet_tpu.ops.pallas_knn import knn_pallas
 
 
+@pytest.fixture(params=["v2", "aabb"], autouse=True)
+def knn_variant(request, monkeypatch):
+    """Run every case against all kernels (CCN_KNN_VARIANT dispatch)."""
+    monkeypatch.setenv("CCN_KNN_VARIANT", request.param)
+    return request.param
+
+
 @pytest.mark.parametrize("k,q_n,n", [(4, 100, 300), (16, 257, 513)])
 def test_pallas_knn_matches_xla(rng, k, q_n, n):
     query = rng.normal(size=(2, q_n, 3)).astype(np.float32)

@@ -72,11 +72,32 @@ def run(q_n, n, k, radius):
           f"dist-ok={ok:.4f} validity-mismatch={vm:.5f}", flush=True)
 
 
+CASES = [
+    (18432, 18432, 32, None),   # flagship first table row (36864 pad)
+    (16384, 16384, 32, None),
+    (16384, 16384, 20, 0.04),
+    (9216, 9216, 32, None),
+    (4096, 4096, 32, None),
+    (36864, 18432, 3, None),    # fp 3-NN upsample
+    (16384, 8192, 3, None),
+]
+BIG = [                          # KITTI-scale rows (CCN_KNN_BIG=1)
+    (32768, 32768, 20, 0.3),     # the decoder-sgcnn hazard row (exact)
+    (32768, 32768, 32, None),
+    (65536, 65536, 20, 0.08),
+    (131072, 131072, 20, 0.04),
+]
+
 if __name__ == "__main__":
+    import os
     print(f"device: {jax.devices()[0]}")
-    run(16384, 16384, 32, None)
-    run(16384, 16384, 20, 0.04)
-    run(8192, 8192, 32, None)
-    run(4096, 4096, 32, None)
-    run(16384, 8192, 3, None)
-    run(32768, 16384, 3, None)
+    cases = CASES + (BIG if os.environ.get("CCN_KNN_BIG") == "1" else [])
+    for variant in os.environ.get("CCN_KNN_SWEEP", "v2,window").split(","):
+        os.environ["CCN_KNN_VARIANT"] = variant
+        print(f"--- variant={variant} ---")
+        for case in cases:
+            try:
+                run(*case)
+            except Exception as e:
+                print(f"case {case}: FAIL {str(e).splitlines()[0][:100]}",
+                      flush=True)

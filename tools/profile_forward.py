@@ -50,6 +50,21 @@ def summarize_xplane(trace_dir: str, top: int = 40):
               f"{sum(op_count.values())} events ===")
         for name, t in sorted(op_time.items(), key=lambda kv: -kv[1])[:top]:
             print(f"{t:9.2f} ms  x{op_count[name]:5d}  {name[:110]}")
+
+        # category roll-up: the per-op table hides a long tail of small
+        # ops; grouping by HLO kind shows where the tail actually lives
+        import re
+
+        cat_time = defaultdict(float)
+        cat_count = defaultdict(int)
+        for name, t in op_time.items():
+            m = re.search(r"%([a-zA-Z][\w-]*?)[.\s]", name)
+            kind = m.group(1) if m else name.split(":")[0][:24]
+            cat_time[kind] += t
+            cat_count[kind] += op_count[name]
+        print("\n--- by category ---")
+        for kind, t in sorted(cat_time.items(), key=lambda kv: -kv[1])[:20]:
+            print(f"{t:9.2f} ms  x{cat_count[kind]:6d}  {kind}")
         return
 
 

@@ -1,0 +1,151 @@
+#!/usr/bin/env python3
+"""Compiled-form Pallas smoke gate: every TPU kernel compiles AND matches
+the XLA reference on the real chip.
+
+The interpret-mode CI (tests/test_pallas_*.py) cannot catch the
+Mosaic-compile regression class (remote-compile failures, layout limits,
+vreg constraints) that has cost real time in every round.  Run this before
+every bench:
+
+    PYTHONPATH=/root/repo:$PYTHONPATH python tools/tpu_smoke.py
+
+Exit code 0 = all kernels compiled and agreed with XLA.
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("JAX_CACHE_DIR", "/tmp/ccn_jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
+from curvecloudnet_tpu.data.synthetic import synthetic_lidar_batch
+from curvecloudnet_tpu.ops import neighbors, sampling
+from curvecloudnet_tpu.ops.grid_knn import grid_knn
+from curvecloudnet_tpu.ops.pallas_fps import fps_pallas
+from curvecloudnet_tpu.ops.pallas_knn import (knn_pallas_single,
+                                              knn_pallas_single_aabb)
+from curvecloudnet_tpu.ops.pallas_topk import topk_smallest
+
+FAILURES = []
+
+
+def check(name, fn):
+    t0 = time.time()
+    try:
+        fn()
+        print(f"[ok]   {name} ({time.time()-t0:.1f}s)", flush=True)
+    except AssertionError as e:
+        FAILURES.append(name)
+        print(f"[FAIL] {name}: parity: {e}", flush=True)
+    except Exception as e:
+        FAILURES.append(name)
+        msg = str(e).splitlines()[0][:160]
+        print(f"[FAIL] {name}: {msg}", flush=True)
+
+
+def _xla_knn(q, p, qv, pv, k, radius=None):
+    old = neighbors.KNN_BACKEND
+    neighbors.KNN_BACKEND = "xla"
+    try:
+        return neighbors.knn(q, p, qv, pv, k, radius=radius)
+    finally:
+        neighbors.KNN_BACKEND = old
+
+
+def _assert_knn_close(got, want, tag, ok_floor=0.985):
+    d_p, d_x = np.asarray(got[1]), np.asarray(want[1])
+    finite = d_x < 1e20
+    ok = np.isclose(d_p[finite], d_x[finite], rtol=1e-3, atol=1e-4).mean()
+    vm = ((d_p < 1e20) != finite).mean()
+    assert ok > ok_floor and vm < 1e-3, \
+        f"{tag}: dist-ok={ok:.4f} vm={vm:.5f}"
+
+
+def main():
+    print("device:", jax.devices()[0], flush=True)
+    rng = np.random.default_rng(0)
+    pos, _, cid, valid, _ = synthetic_lidar_batch(rng, 1, 4096)
+    pos, valid = jnp.asarray(pos), jnp.asarray(valid)
+    cid = jnp.asarray(cid)
+
+    def knn_variant(single, k, radius):
+        def run():
+            idx, dist = jax.jit(
+                lambda q, p, qv, pv: jax.vmap(
+                    lambda a, b, c, d: single(a, b, c, d, k=k,
+                                              radius=radius)
+                )(q, p, qv, pv))(pos, pos, valid, valid)
+            jax.block_until_ready(dist)
+            want = _xla_knn(pos, pos, valid, valid, k, radius)
+            # radius cases see extra near-boundary quantization flips
+            _assert_knn_close((idx, dist), want, "knn",
+                              ok_floor=0.975 if radius else 0.985)
+        return run
+
+    check("pallas_knn v2 k=32", knn_variant(knn_pallas_single, 32, None))
+    check("pallas_knn aabb k=32",
+          knn_variant(knn_pallas_single_aabb, 32, None))
+    check("pallas_knn aabb k=20 r=0.04",
+          knn_variant(knn_pallas_single_aabb, 20, 0.04))
+
+    def fps_check():
+        idx, iv = jax.jit(lambda p, v: fps_pallas(p, v, 0.25))(pos, valid)
+        jax.block_until_ready(idx)
+        idx = np.asarray(idx)[0]
+        iv = np.asarray(iv)[0]
+        kept = idx[iv]
+        assert len(set(kept.tolist())) == iv.sum(), "duplicate FPS picks"
+        # FPS picks must be spread out: min pairwise distance among a
+        # sample of picks should far exceed the dataset's typical spacing
+        p = np.asarray(pos)[0][kept[:256]]
+        d = np.linalg.norm(p[:, None] - p[None, :], axis=-1)
+        np.fill_diagonal(d, np.inf)
+        assert d.min() > 1e-4, "FPS picked coincident points"
+
+    check("pallas_fps", fps_check)
+
+    def topk_check():
+        d = jnp.asarray(rng.normal(size=(512, 192)) ** 2, jnp.float32)
+        idx = jnp.asarray(
+            rng.integers(0, 4096, size=(512, 192)), jnp.int32)
+        td, ti = jax.jit(lambda a, b: topk_smallest(a, b, 16))(d, idx)
+        jax.block_until_ready(td)
+        want = np.sort(np.asarray(d), axis=-1)[:, :16]
+        np.testing.assert_allclose(np.sort(np.asarray(td), axis=-1),
+                                   want, rtol=1e-2, atol=1e-4)
+
+    check("pallas_topk", topk_check)
+
+    def grid_check():
+        gi, gd = jax.jit(lambda q, p, qv, pv: grid_knn(
+            q, p, qv, pv, 16, 0.08, cap=192))(pos, pos, valid, valid)
+        jax.block_until_ready(gd)
+        want = _xla_knn(pos, pos, valid, valid, 16, 0.08)
+        # grid is capped/approximate: compare recall, not exact distances
+        g, b = np.asarray(gi)[0], np.asarray(want[0])[0]
+        recalls = []
+        for i in range(0, 4096, 16):
+            exact = set(b[i][b[i] >= 0].tolist())
+            if exact:
+                got = set(g[i][g[i] >= 0].tolist())
+                recalls.append(len(exact & got) / len(exact))
+        r = float(np.mean(recalls))
+        assert r > 0.95, f"grid recall {r:.4f}"
+
+    check("grid_knn", grid_check)
+
+    if FAILURES:
+        print(f"SMOKE FAILED: {FAILURES}", flush=True)
+        sys.exit(1)
+    print("SMOKE OK: all kernels compiled + matched", flush=True)
+
+
+if __name__ == "__main__":
+    main()
