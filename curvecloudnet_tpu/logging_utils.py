@@ -92,6 +92,14 @@ class MetricLogger:
 
             path = os.path.join(media, tag + ".png")
             plt.imsave(path, np.clip(obj, 0, 1))
+        elif isinstance(obj, (str, os.PathLike)) and os.path.exists(obj):
+            # a figure already on disk: copy it under media/ so the run's
+            # media directory is self-contained
+            import shutil
+
+            ext = os.path.splitext(str(obj))[1] or ".png"
+            path = os.path.join(media, tag + ext)
+            shutil.copyfile(obj, path)
         else:
             path = str(obj)
         self.log({f"media/{name}": path}, step=step)

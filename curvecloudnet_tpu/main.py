@@ -100,7 +100,7 @@ def load_datasets(cfg):
     raise KeyError(f"unknown dataset_source {src!r}")
 
 
-def run_eval(model, variables, val_ds, info, cfg, log=print):
+def run_eval(model, variables, val_ds, info, cfg, log=print, logger=None):
     # lidar scenes evaluate at batch 1 regardless of TTA (reference
     # main.py:32); small-object tasks (ShapeNet/Kortx) batch up
     lidar_scene = info.task == "segmentation" and not info.part_iou
@@ -109,7 +109,7 @@ def run_eval(model, variables, val_ds, info, cfg, log=print):
     if info.task == "classification":
         return T.evaluate_classification(model, variables, val_ds, info,
                                          batch_size=bs, max_batches=max_b,
-                                         log=log)
+                                         log=log, media_logger=logger)
     if info.part_iou:
         return T.evaluate_part_segmentation(model, variables, val_ds, info,
                                             batch_size=bs, max_batches=max_b,
@@ -120,17 +120,31 @@ def run_eval(model, variables, val_ds, info, cfg, log=print):
         test_mode=bool(cfg.get("only_test")), outdir=cfg.get("outdir"))
 
 
-def run_viz(model, variables, val_ds, info, cfg, outdir, n_samples=4):
+def run_viz(model, variables, val_ds, info, cfg, outdir, n_samples=4,
+            logger=None):
     """Render prediction/GT/curve figures for a few val samples
-    (reference viz_seg paths, e.g. nuscenes_seg.py:168-226)."""
+    (reference viz_seg paths, e.g. nuscenes_seg.py:168-226): per-sample
+    curve plot, pred/GT scatter, grouping-edge graph, and path-traced
+    pred|GT panels — all routed through ``MetricLogger.log_media`` so they
+    land in wandb when available and under ``outdir/media/`` otherwise."""
     import jax.numpy as jnp
 
     from .data import datasets as D
+    from .logging_utils import MetricLogger
+    from .ops import neighbors
     from .run import tasks as T
-    from .visualization import plot_curve_cloud, plot_segmentation
+    from .visualization import (
+        grouping_edges_figure, label_colormap, plot_curve_cloud,
+        plot_segmentation, render_segmentation_panels,
+    )
 
+    if logger is None:
+        logger = MetricLogger(outdir, use_wandb=cfg.get("use_wandb", False),
+                              config=cfg)
     viz_dir = os.path.join(outdir, "viz")
     os.makedirs(viz_dir, exist_ok=True)
+    preset = {"kitti": "kitti", "nuscenes": "kitti", "audi": "audi"}.get(
+        info.name, "shapenet")
     fwd = T.make_tta_eval(model)
     for i, np_batch in enumerate(D.batch_iterator(val_ds, 1,
                                                   drop_last=False)):
@@ -145,12 +159,30 @@ def run_viz(model, variables, val_ds, info, cfg, outdir, n_samples=4):
         pred = np.asarray(jnp.argmax(logits, -1))[0]
         valid = np.asarray(out_valid)[0]
         pos = np.asarray(batch.cloud.pos)[0]
+        curves_png = os.path.join(viz_dir, f"curves_{i}.png")
         plot_curve_cloud(pos, np.asarray(batch.cloud.curve_id)[0], valid,
-                         os.path.join(viz_dir, f"curves_{i}.png"))
+                         curves_png)
+        logger.log_media(f"viz/curves_{i}", curves_png)
         gt = (np.asarray(batch.labels)[0]
               if np.ndim(np.asarray(batch.labels)) > 1 else None)
-        plot_segmentation(pos, pred, gt, valid,
-                          path=os.path.join(viz_dir, f"seg_{i}.png"))
+        seg_png = os.path.join(viz_dir, f"seg_{i}.png")
+        plot_segmentation(pos, pred, gt, valid, path=seg_png)
+        logger.log_media(f"viz/seg_{i}", seg_png)
+
+        # grouping edges of the first sgcnn/sa radius on this cloud
+        # (reference visualize_plotly.py:284-306)
+        nbr, _ = neighbors.same_set_knn(
+            batch.cloud.pos, batch.cloud.valid, 8)
+        fig = grouping_edges_figure(
+            pos, np.asarray(nbr)[0], valid=valid,
+            path=os.path.join(viz_dir, f"edges_{i}.png"))
+        logger.log_media(f"viz/groupings_{i}", fig)
+
+        if info.task == "segmentation" and gt is not None:
+            cm = label_colormap(info.n_out)
+            panels = render_segmentation_panels(pos, pred, gt, cm,
+                                                preset=preset, valid=valid)
+            logger.log_media(f"viz/panels_{i}", panels)
     print(f"wrote figures to {viz_dir}")
 
 
@@ -161,7 +193,39 @@ def score_of(result: dict) -> float:
     return float("nan")
 
 
+def init_distributed_from_config(cfg: dict) -> int:
+    """Multi-host entry path (SURVEY §2.11: a jax.distributed-initialized
+    runtime).  Config block::
+
+        distributed:
+          coordinator_address: host0:8476
+          num_processes: 4
+          process_id: 0        # or env CCN_PROCESS_ID per host
+
+    Launch one process per host, identical configs except process_id:
+      CCN_PROCESS_ID=$i python -m curvecloudnet_tpu.main --config cfg.yaml \\
+          --distributed.num_processes=4 \\
+          --distributed.coordinator_address=host0:8476
+    Single-host runs (no block / num_processes <= 1) skip initialization.
+    """
+    dist = cfg.get("distributed") or {}
+    n_proc = int(dist.get("num_processes") or 0)
+    if n_proc <= 1:
+        return 0
+    from .parallel import initialize_distributed
+
+    pid = dist.get("process_id")
+    if pid is None:
+        pid = int(os.environ.get("CCN_PROCESS_ID", 0))
+    idx = initialize_distributed(dist.get("coordinator_address"),
+                                 n_proc, int(pid))
+    print(f"[distributed] process {idx}/{n_proc} "
+          f"({jax.device_count()} devices total)")
+    return idx
+
+
 def main(cfg: dict) -> Optional[float]:
+    init_distributed_from_config(cfg)
     outdir = cfg.get("outdir", "./out/run")
     os.makedirs(outdir, exist_ok=True)
     logger = MetricLogger(outdir, use_wandb=cfg.get("use_wandb", False),
@@ -213,12 +277,12 @@ def main(cfg: dict) -> Optional[float]:
 
     if cfg.get("only_viz"):
         variables = {"params": state.params, "batch_stats": state.batch_stats}
-        run_viz(model, variables, val_ds, info, cfg, outdir)
+        run_viz(model, variables, val_ds, info, cfg, outdir, logger=logger)
         return None
 
     if cfg.get("only_val") or cfg.get("only_test"):
         variables = {"params": state.params, "batch_stats": state.batch_stats}
-        result = run_eval(model, variables, val_ds, info, cfg)
+        result = run_eval(model, variables, val_ds, info, cfg, logger=logger)
         logger.log(result if isinstance(result, dict) and all(
             isinstance(v, (int, float)) for v in result.values()) else
             {k: v for k, v in result.items()

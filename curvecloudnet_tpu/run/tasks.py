@@ -405,7 +405,7 @@ def evaluate_part_segmentation(model, variables, dataset,
 def evaluate_classification(model, variables, dataset, task_info: TaskInfo,
                             batch_size: int = 16,
                             max_batches: int | None = None,
-                            log: Callable = print):
+                            log: Callable = print, media_logger=None):
     """16-way classification metrics (shapenet_classification.py:96-151)."""
     from ..data.datasets import batch_iterator, to_device_batch
 
@@ -425,6 +425,14 @@ def evaluate_classification(model, variables, dataset, task_info: TaskInfo,
     acc, bal = M.confmat2acc(confmat)
     prec, rec, f1 = M.confmat2precrec(confmat)
     log(f"accuracy: {acc:.4f}  balanced: {bal:.4f}")
+    if media_logger is not None:
+        # reference logs the confusion figure as wandb media
+        # (shapenet_classification.py:109)
+        from ..visualization import plot_confusion
+
+        media_logger.log_media(
+            "eval/confusion",
+            plot_confusion(confmat, class_names=task_info.class_names))
     return {"accuracy": acc, "balanced_accuracy": bal,
             "precision": prec.tolist(), "recall": rec.tolist(),
             "f1": f1.tolist(), "confmat": confmat.tolist()}

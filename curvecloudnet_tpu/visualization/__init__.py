@@ -9,6 +9,7 @@ from .mitsuba_render import (
 )
 from .plots import (
     grouping_edges_figure,
+    label_colormap,
     plot_confusion,
     plot_curve_cloud,
     plot_segmentation,
@@ -19,6 +20,7 @@ from .plots import (
 __all__ = [
     "grouping_edges_figure",
     "have_mitsuba",
+    "label_colormap",
     "plot_confusion",
     "plot_curve_cloud",
     "plot_segmentation",

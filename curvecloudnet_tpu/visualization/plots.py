@@ -103,6 +103,20 @@ def render_bev(pos, labels, valid=None, res: int = 512, extent: float = 3.0,
     return img
 
 
+def label_colormap(n: int) -> np.ndarray:
+    """Deterministic (n, 3) label colormap in [0, 1] (golden-angle HSV
+    cycle — same role as the reference's per-dataset colormap tables in
+    src/run/globals.py; class 0 renders dark grey like its ignore color)."""
+    import colorsys
+
+    out = np.zeros((max(n, 1), 3), np.float32)
+    out[0] = (0.25, 0.25, 0.25)
+    for i in range(1, n):
+        h = (i * 0.61803398875) % 1.0
+        out[i] = colorsys.hsv_to_rgb(h, 0.75, 0.95)
+    return out
+
+
 def plot_confusion(confmat, class_names: Optional[Sequence[str]] = None,
                    path: str = "confusion.png"):
     """Row-normalized confusion matrix heatmap
