@@ -32,6 +32,12 @@ def synthetic_lidar_sweep(rng: np.random.Generator, n_points: int,
     obj_xy = rng.uniform(-30, 30, size=(n_obj, 2))
     obj_r = rng.uniform(1.5, 4.0, size=n_obj)
     obj_c = rng.integers(1, n_classes, size=n_obj)
+    # environment envelope: buildings/walls bound the free range per
+    # azimuth sector, like real urban sweeps (an unbounded ground plane
+    # out to 60 m makes point spacing unrealistically coarse, which
+    # distorts downsample keep-rates and neighbor distributions)
+    n_sector = 64
+    env_r = rng.uniform(8.0, 55.0, size=n_sector)
     for b in range(n_beams):
         az = np.sort(rng.uniform(0, 2 * np.pi, pts_per_beam))
         el = elevations[b]
@@ -40,17 +46,23 @@ def synthetic_lidar_sweep(rng: np.random.Generator, n_points: int,
             rng_gp = np.minimum(1.8 / np.tan(-el), 60.0)
         else:
             rng_gp = 60.0
-        r = np.full(pts_per_beam, rng_gp) * rng.uniform(
-            0.95, 1.05, pts_per_beam)
+        sect = (az / (2 * np.pi) * n_sector).astype(int) % n_sector
+        r_bound = env_r[sect] * rng.uniform(0.97, 1.03, pts_per_beam)
+        # realistic range noise is a few cm — multiplicative percent-level
+        # jitter would dominate the along-curve arclength and distort
+        # downsample keep-rates
+        r = (np.minimum(np.full(pts_per_beam, rng_gp), r_bound)
+             + rng.normal(0.0, 0.03, pts_per_beam))
         xy = np.stack([r * np.cos(az), r * np.sin(az)], -1)
         lab = np.zeros(pts_per_beam, np.int32)
         lab[:] = 1  # driveable surface
+        lab = np.where(r_bound < rng_gp, min(2, n_classes - 1), lab)  # walls
         for o in range(n_obj):
             d = np.linalg.norm(xy - obj_xy[o], axis=-1)
             hit = d < obj_r[o]
             # pull hit ranges in to the object's surface
             t = np.clip(np.linalg.norm(obj_xy[o]) - obj_r[o], 1.0, 60.0)
-            r = np.where(hit, t * rng.uniform(0.98, 1.02, pts_per_beam), r)
+            r = np.where(hit, t + rng.normal(0.0, 0.03, pts_per_beam), r)
             lab = np.where(hit, obj_c[o], lab)
         z = np.full(pts_per_beam, 1.8) + r * np.tan(el)
         p = np.stack([r * np.cos(az), r * np.sin(az), z], -1)
