@@ -432,7 +432,8 @@ def evaluate_classification(model, variables, dataset, task_info: TaskInfo,
 
         media_logger.log_media(
             "eval/confusion",
-            plot_confusion(confmat, class_names=task_info.class_names))
+            plot_confusion(confmat, class_names=task_info.class_names,
+                           path=None))
     return {"accuracy": acc, "balanced_accuracy": bal,
             "precision": prec.tolist(), "recall": rec.tolist(),
             "f1": f1.tolist(), "confmat": confmat.tolist()}

@@ -52,6 +52,8 @@ def plot_curve_cloud(pos, curve_id, valid=None, path: str = "curves.png",
     ax.view_init(elev=elev, azim=azim)
     ax.set_axis_off()
     fig.tight_layout()
+    if path is None:
+        return fig  # caller (e.g. MetricLogger.log_media) owns saving
     fig.savefig(path, dpi=150)
     plt.close(fig)
     return path
@@ -83,6 +85,8 @@ def plot_segmentation(pos, pred, gt=None, valid=None,
         ax.set_title(name)
         ax.set_axis_off()
     fig.tight_layout()
+    if path is None:
+        return fig  # caller (e.g. MetricLogger.log_media) owns saving
     fig.savefig(path, dpi=150)
     plt.close(fig)
     return path
@@ -118,7 +122,7 @@ def label_colormap(n: int) -> np.ndarray:
 
 
 def plot_confusion(confmat, class_names: Optional[Sequence[str]] = None,
-                   path: str = "confusion.png"):
+                   path: Optional[str] = "confusion.png"):
     """Row-normalized confusion matrix heatmap
     (reference shapenet_classification.py:104-116)."""
     plt = _mpl()
@@ -134,6 +138,8 @@ def plot_confusion(confmat, class_names: Optional[Sequence[str]] = None,
     ax.set_xlabel("pred")
     ax.set_ylabel("true")
     fig.tight_layout()
+    if path is None:
+        return fig  # caller (e.g. MetricLogger.log_media) owns saving
     fig.savefig(path, dpi=150)
     plt.close(fig)
     return path
