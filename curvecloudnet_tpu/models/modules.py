@@ -598,29 +598,168 @@ class SymmetricCurveConvStep(nn.Module):
         # (fast_conv1d.py:49-74): gap slots develop non-zero values (bias/
         # BN/activation of boundary neighborhoods) that feed curve-boundary
         # points from the second conv on, and BN statistics include the gap
-        # slots.  Reproduced exactly via the gap-expanded layout.
+        # slots.  Reproduced exactly via the gap-expanded layout; eval on
+        # 2-conv stacks takes the cheaper halo-corrected path (identical
+        # values, no expanded-row convs).
+        import os
+
         nconvs = len(self.dims) - 1
         pad = half_k * nconvs
+        if step.with_diff:
+            diff = curve1d.feature_diffs(x, cid, valid)
+            x = jnp.concatenate([x, diff], axis=-1)
+        x = x * valid[..., None].astype(x.dtype)
         exp_idx, n_exp, mask_exp, overflow = curve1d.gap_expand_indices(
             cid, valid, pad, self.spec.curve_budget)
         telemetry.record(f"{self.name}/curve_budget_overflow",
                          jnp.sum(overflow))
-        if step.with_diff:
-            diff = curve1d.feature_diffs(x, cid, valid)
-            x = jnp.concatenate([x, diff], axis=-1)
-        xe = curve1d.gap_scatter(x * valid[..., None].astype(x.dtype),
-                                 exp_idx, n_exp)
-        for i in range(1, len(self.dims)):
+
+        layers = [
+            (nn.Dense(self.dims[i], use_bias=True, dtype=_dt(self.spec),
+                      name=f"conv_{i-1}"),
+             MaskedBatchNorm(name=f"norm_{i-1}"))
+            for i in range(1, len(self.dims))
+        ]
+
+        use_halo = (not train and not self.is_initializing()
+                    and os.environ.get("CCN_CONV_HALO", "1") != "0")
+        if use_halo:
+            return cloud.with_features(self._v2_halo(
+                x, cid, valid, half_k, pad, exp_idx, n_exp, layers))
+
+        xe = curve1d.gap_scatter(x, exp_idx, n_exp)
+        for dense_i, norm_i in layers:
             xw = curve1d.window_concat_nomask(xe, half_k)
-            xe = nn.Dense(self.dims[i], use_bias=True, dtype=_dt(self.spec),
-                         name=f"conv_{i-1}")(xw)
-            xe = MaskedBatchNorm(name=f"norm_{i-1}")(
-                xe, mask=mask_exp, use_running_average=not train,
-                momentum=bn_momentum)
+            xe = dense_i(xw)
+            xe = norm_i(xe, mask=mask_exp, use_running_average=not train,
+                        momentum=bn_momentum)
             xe = leaky_relu(xe) * mask_exp[..., None].astype(xe.dtype)
         x = curve1d.gap_gather(xe, exp_idx, valid)
         return cloud.with_features(x)
 
+    def _v2_halo(self, x, cid, valid, h, pad, exp_idx, n_exp, layers):
+        """Halo-corrected eval path for V2 stacks of any depth.
+
+        Layer i's gap INPUTS come from layer i-1 (zero for i=1), so valid
+        rows can run the cheap masked-window conv provided (a) boundary
+        rows get scatter-add corrections from the previous layer's gap
+        values and (b) each layer's gap values are recomputed on small
+        per-boundary windows [gap - h, gap + pad + h) assembled from the
+        corrected valid values plus all previous gap values.  The expanded
+        -row convs/BN of the exact path disappear; equality with that path
+        is pinned by tests (and the torch V2 oracle).  Rows whose curve
+        count exceeds ``curve_budget`` lose gaps between the excess curves
+        in BOTH paths' telemetry sense, but the overflow semantics differ
+        slightly (halo reads zeros where the expansion lets excess curves
+        abut) — telemetry flags those rows.
+        """
+        b, n = cid.shape
+        cb = self.spec.curve_budget
+        win_w = pad + 2 * h
+
+        # ---- boundary geometry (before/after gap per curve; interior
+        # gaps appear twice, which keeps indexing uniform)
+        starts_mask = segments.curve_starts(cid, valid) & valid
+        starts_idx, slot_ok = sampling.mask_to_indices(starts_mask, cb)
+        n_curves = jnp.sum(starts_mask, axis=-1).astype(jnp.int32)
+        n_valid = jnp.sum(valid, axis=-1).astype(jnp.int32)
+        slot_i = jnp.arange(cb, dtype=jnp.int32)[None, :]
+        next_start = jnp.concatenate(
+            [starts_idx[:, 1:], jnp.zeros((b, 1), jnp.int32)], axis=1)
+        is_last = slot_i == (n_curves - 1)[:, None]
+        ends_idx = jnp.where(is_last, n_valid[:, None] - 1, next_start - 1)
+        e_before = starts_idx + pad * slot_i          # gap start (expanded)
+        e_after = ends_idx + pad * (slot_i + 1) + 1
+        # the before-gap of curve c+1 IS the after-gap of curve c; for the
+        # gap-row scatter below, one copy suffices: all before-gaps plus
+        # the last curve's after-gap
+        e_after_last = jnp.where(is_last & slot_ok, e_after, n_exp)
+
+        def gap_windows(y_exp_padded, e_start, c):
+            base = (e_start[:, :, None]
+                    + jnp.arange(win_w, dtype=jnp.int32)[None, None, :])
+            idx = jnp.clip(base, 0, n_exp + 2 * h - 1)
+            rows = jax.vmap(lambda xb, ib: xb[ib])(
+                y_exp_padded, idx.reshape(b, -1))
+            return rows.reshape(b * cb, win_w, c)
+
+        def layer_gaps(dense_i, norm_i, y_exp_padded, e_start, c):
+            win = gap_windows(y_exp_padded, e_start, c)
+            ww = curve1d.window_concat_nomask(win, h)
+            g = dense_i(ww)
+            g = norm_i(g, mask=jnp.ones(ww.shape[:2], bool),
+                       use_running_average=True)
+            g = leaky_relu(g)
+            g = g.reshape(b, cb, win_w, -1)[:, :, h:h + pad]
+            return g * slot_ok[:, :, None, None].astype(g.dtype)
+
+        y = x
+        g_before = g_after = None
+        nconvs = len(layers)
+        for li, (dense_i, norm_i) in enumerate(layers):
+            xw = curve1d.symmetric_window_concat(y, cid, valid, h)
+            c_in = y.shape[-1]
+            if g_before is not None:
+                # boundary corrections: tap d >= delta crosses into the gap
+                rows_list, upd_list = [], []
+                for delta in range(1, h + 1):
+                    blocks_s = [jnp.zeros((b, cb, c_in), y.dtype)]
+                    blocks_e = [jnp.zeros((b, cb, c_in), y.dtype)]
+                    for d in range(1, h + 1):
+                        if d >= delta:
+                            blocks_s.append(
+                                g_before[:, :, pad + delta - 1 - d])
+                            blocks_e.append(g_after[:, :, d - delta])
+                        else:
+                            blocks_s.append(
+                                jnp.zeros((b, cb, c_in), y.dtype))
+                            blocks_e.append(
+                                jnp.zeros((b, cb, c_in), y.dtype))
+                    r_s = starts_idx + (delta - 1)
+                    r_e = ends_idx - (delta - 1)
+                    ok_s = slot_ok & (r_s <= ends_idx)
+                    ok_e = slot_ok & (r_e >= starts_idx)
+                    rows_list += [jnp.where(ok_s, r_s, n),
+                                  jnp.where(ok_e, r_e, n)]
+                    upd_list += [
+                        jnp.concatenate(blocks_s, axis=-1)
+                        * ok_s[:, :, None].astype(y.dtype),
+                        jnp.concatenate(blocks_e, axis=-1)
+                        * ok_e[:, :, None].astype(y.dtype),
+                    ]
+                rows = jnp.concatenate(rows_list, axis=1)
+                upds = jnp.concatenate(upd_list, axis=1)
+                xw = jax.vmap(lambda w, r, u: w.at[r].add(u, mode="drop"))(
+                    xw, rows, upds)
+            y_new = dense_i(xw)
+            y_new = norm_i(y_new, mask=valid, use_running_average=True)
+            y_new = leaky_relu(y_new) * valid[..., None].astype(y_new.dtype)
+
+            if li + 1 < nconvs:
+                # assemble the expanded sequence of THIS layer's inputs:
+                # corrected valid values + all previous gap values — the
+                # next layer's gap windows read from it
+                y_exp = curve1d.gap_scatter(y, exp_idx, n_exp)
+                if g_before is not None:
+                    gcols = jnp.arange(pad, dtype=jnp.int32)
+                    gap_rows = jnp.concatenate(
+                        [(jnp.where(slot_ok, e_before, n_exp)[:, :, None]
+                          + gcols[None, None, :]).reshape(b, -1),
+                         (e_after_last[:, :, None]
+                          + gcols[None, None, :]).reshape(b, -1)], axis=1)
+                    gap_vals = jnp.concatenate(
+                        [g_before.reshape(b, -1, c_in),
+                         g_after.reshape(b, -1, c_in)], axis=1)
+                    y_exp = jax.vmap(
+                        lambda xb, rb, vb: xb.at[rb].set(vb, mode="drop")
+                    )(y_exp, gap_rows, gap_vals)
+                y_exp_p = jnp.pad(y_exp, ((0, 0), (h, h), (0, 0)))
+                g_before = layer_gaps(dense_i, norm_i, y_exp_p, e_before,
+                                      c_in)
+                g_after = layer_gaps(dense_i, norm_i, y_exp_p, e_after,
+                                     c_in)
+            y = y_new
+        return y
 
 class SkipConnectStep(nn.Module):
     """Concat skip features + MLP (reference skip_connect.py:6-15)."""

@@ -329,14 +329,15 @@ def oracle_symconv_v2(pos, feat, cid, n_valid, metas, kernel_size,
     return seq[exp_positions[:n_valid]]
 
 
-def test_curve_conv_v2_matches_torch_oracle(rng):
+@pytest.mark.parametrize("depth", [2, 3])
+def test_curve_conv_v2_matches_torch_oracle(rng, depth):
     row = make_curve_row(rng, [25, 31, 24], 96, feat_dim=2)
     pos, cid, valid, feat = (row["pos"], row["curve_id"], row["valid"],
                              row["feat"])
     n_valid = int(valid.sum())
-    feat_dims = [2 + 3, 8, 8]
-    step = StepSpec(name="conv1d-fast-v2", feat_dims=(8, 8), kernel_size=5,
-                    with_xyz=True, with_diff=True)
+    feat_dims = [2 + 3] + [8] * depth
+    step = StepSpec(name="conv1d-fast-v2", feat_dims=(8,) * depth,
+                    kernel_size=5, with_xyz=True, with_diff=True)
     spec = ModelSpec(in_dim=2, n_out=4, steps=(step,), out_mlp_dims=(8,),
                      use_bias=True, skip_connect_state_store=(),
                      curve_budget=8)
@@ -357,3 +358,39 @@ def test_curve_conv_v2_matches_torch_oracle(rng):
     # the gap feedback is exactly what distinguishes V2 from V1 at
     # boundaries — the whole row must match, not just curve interiors
     np.testing.assert_allclose(out[0, :n_valid], want, rtol=5e-4, atol=5e-4)
+
+
+@pytest.mark.parametrize("depth", [2, 3])
+def test_curve_conv_v2_halo_equals_expansion(rng, monkeypatch, depth):
+    """The eval halo fast path must produce the expansion path's values
+    bit-for-bit-ish (same math, different association) — including at the
+    row start/end gaps and around short curves, at the flagship's 3-conv
+    depth as well."""
+    row = make_curve_row(rng, [25, 31, 2, 24, 1, 9], 96, feat_dim=2)
+    pos, cid, valid, feat = (row["pos"], row["curve_id"], row["valid"],
+                             row["feat"])
+    step = StepSpec(name="conv1d-fast-v2", feat_dims=(8,) * depth,
+                    kernel_size=5, with_xyz=True, with_diff=True)
+    spec = ModelSpec(in_dim=2, n_out=4, steps=(step,), out_mlp_dims=(8,),
+                     use_bias=True, skip_connect_state_store=(),
+                     curve_budget=16)
+    cloud = cloud_from_arrays(jnp.asarray(pos), jnp.asarray(cid),
+                              jnp.asarray(valid), jnp.asarray(feat))
+    mod = SymmetricCurveConvStep(spec, step, (5,) + (8,) * depth, v1=False)
+    vs = mod.init({"params": jax.random.PRNGKey(5)}, cloud, train=False)
+    # randomize running stats so BN affine is non-trivial
+    import flax
+
+    vd = flax.core.unfreeze(vs)
+    for nrm in [f"norm_{i}" for i in range(depth)]:
+        st = vd["batch_stats"][nrm]
+        st["mean"] = jnp.asarray(
+            rng.normal(0, 0.2, st["mean"].shape), jnp.float32)
+        st["var"] = jnp.asarray(
+            rng.uniform(0.5, 1.5, st["var"].shape), jnp.float32)
+
+    monkeypatch.setenv("CCN_CONV_HALO", "0")
+    want = np.asarray(mod.apply(vd, cloud, train=False).x)
+    monkeypatch.setenv("CCN_CONV_HALO", "1")
+    got = np.asarray(mod.apply(vd, cloud, train=False).x)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)

@@ -58,8 +58,9 @@ def main():
           f"(n_pad={n_pad}) ==")
     for k in sorted(totals):
         vals = totals[k]
-        flag = "  <-- OVERFLOW" if max(vals) > 0 else ""
-        print(f"{k:60s} max={max(vals):10.0f} mean={np.mean(vals):10.1f}"
+        flag = ("  <-- OVERFLOW" if "overflow" in k and max(vals) > 0
+                else "")
+        print(f"{k:60s} max={max(vals):10.4f} mean={np.mean(vals):10.4f}"
               f"{flag}")
 
 
