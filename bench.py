@@ -35,10 +35,15 @@ def main():
     # honest headline: bench at the row size the shipped config actually
     # pads to (nuscenes.yaml n_pad=36864), not a rounder power of two
     n_points = int(os.environ.get("BENCH_POINTS", cfg.get("n_pad", 36864)))
+    from curvecloudnet_tpu.run import tasks as _T
+
+    info = _T.task_for(cfg.get("dataset_source", "nuscenes"),
+                       cfg.get("task", "segmentation"))
+    n_out = info.n_out
     # bfloat16 matmul compute (f32 params/statistics) is standard TPU
     # practice; BENCH_DTYPE=float32 reproduces the strict-f32 number.
     cfg["model"]["compute_dtype"] = os.environ.get("BENCH_DTYPE", "bfloat16")
-    spec = parse_model_config(cfg["model"], in_dim=4, n_out=17)
+    spec = parse_model_config(cfg["model"], in_dim=4, n_out=n_out)
     model = CurveCloudNet(spec, n_points=n_points)
 
     rng = np.random.default_rng(0)
@@ -63,7 +68,7 @@ def main():
         )
 
         labels = jnp.asarray(
-            np.random.default_rng(1).integers(0, 17, (batch, n_points)))
+            np.random.default_rng(1).integers(0, n_out, (batch, n_points)))
         b = Batch(cloud=cloud, labels=labels)
         state = create_train_state(
             model, b, key, make_schedule(None, 5e-4, 100))
@@ -112,7 +117,8 @@ def main():
             pts_per_sec = n_valid / mean_t
 
     result = {
-        "metric": f"points/sec/chip (nuScenes lidarseg {mode})",
+        "metric": f"points/sec/chip "
+                  f"({cfg.get('dataset_source', 'nuscenes')} lidarseg {mode})",
         "value": round(pts_per_sec, 1),
         "unit": "points/sec/chip",
         "vs_baseline": round(pts_per_sec / 1e6, 4),

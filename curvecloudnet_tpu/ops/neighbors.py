@@ -31,8 +31,9 @@ KNN_BACKEND = os.environ.get("CCN_KNN_BACKEND", "auto")
 
 # Largest candidate count where the (exact) Pallas brute kernel stays
 # cheaper than grid-hash approximation; also bounds shared-table rows.
-# Covers real nuScenes sweeps' first search row (36864-pad -> 18432).
-BRUTE_MAX_N = 24576
+# Covers real nuScenes sweeps' first search row (36864-pad -> 23040 after
+# the calibrated sa-geo budget).  Env-overridable for dispatch A/Bs.
+BRUTE_MAX_N = int(os.environ.get("CCN_BRUTE_MAX_N", 24576))
 
 
 def grid_cap(k: int) -> int:
@@ -215,7 +216,7 @@ def ball_query(query, points, q_valid, p_valid, radius: float, k: int,
 # removes ~half the search cost of the flagship forward.
 
 TABLE_K = 32
-TABLE_MAX_N = 24576  # beyond this, per-consumer grid searches win (=BRUTE_MAX_N)
+TABLE_MAX_N = BRUTE_MAX_N  # beyond this, per-(row, radius) grid tables win
 _TABLE_CACHE: dict | None = None
 
 
