@@ -39,9 +39,14 @@ def _topk_kernel(d_ref, i_ref, out_d, out_i, *, k: int, w: int,
         jnp.bitwise_and(bits, jnp.int32(~low_mask)), col)
     ivals = i_ref[:]
 
+    # packed entries are distinct per row (col low bits), so round j+1's
+    # min is taken over entries strictly greater than round j's — the
+    # packed matrix is never rewritten (drops a (TQ, W) VMEM store per
+    # round; same trick as ops/pallas_knn.py, measured -31% there).
     def body(j, st):
-        best_d, best_i, packed = st
-        m = jnp.min(packed, axis=-1, keepdims=True)          # (TQ, 1)
+        best_d, best_i, m_prev = st
+        m = jnp.min(jnp.where(packed > m_prev, packed, sent),
+                    axis=-1, keepdims=True)                  # (TQ, 1)
         sel = packed == m
         ival = jnp.sum(jnp.where(sel, ivals, 0), axis=-1,
                        keepdims=True)
@@ -50,13 +55,13 @@ def _topk_kernel(d_ref, i_ref, out_d, out_i, *, k: int, w: int,
         at = slot == j
         best_d = jnp.where(at, dval, best_d)
         best_i = jnp.where(at, ival, best_i)
-        packed = jnp.where(sel, sent, packed)
-        return best_d, best_i, packed
+        return best_d, best_i, m
 
     best_d = jnp.full((tile_q, k), _INF, jnp.float32)
     best_i = jnp.full((tile_q, k), -1, jnp.int32)
-    best_d, best_i, _ = jax.lax.fori_loop(0, k, body,
-                                          (best_d, best_i, packed))
+    best_d, best_i, _ = jax.lax.fori_loop(
+        0, k, body,
+        (best_d, best_i, jnp.full((tile_q, 1), jnp.int32(-2**31))))
     good = best_d < _INF * 0.98
     out_d[:] = jnp.where(good, best_d, _INF)
     out_i[:] = jnp.where(good, best_i, -1)
