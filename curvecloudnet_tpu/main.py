@@ -135,7 +135,7 @@ def run_viz(model, variables, val_ds, info, cfg, outdir, n_samples=4,
     from .run import tasks as T
     from .visualization import (
         grouping_edges_figure, label_colormap, plot_curve_cloud,
-        plot_segmentation, render_segmentation_panels,
+        plot_segmentation, render_segmentation_panels, vector_cones_figure,
     )
 
     if logger is None:
@@ -177,6 +177,21 @@ def run_viz(model, variables, val_ds, info, cfg, outdir, n_samples=4,
             pos, np.asarray(nbr)[0], valid=valid,
             path=os.path.join(viz_dir, f"edges_{i}.png"))
         logger.log_media(f"viz/groupings_{i}", fig)
+
+        # curve-direction cones (reference visualize_plotly.py:19-49,195-199
+        # renders direction fields as go.Cone): tangent = next-on-curve delta
+        cid = np.asarray(batch.cloud.curve_id)[0]
+        tan = np.zeros_like(pos)
+        tan[:-1] = pos[1:] - pos[:-1]
+        same = np.zeros(len(pos), bool)
+        same[:-1] = (cid[1:] == cid[:-1]) & valid[1:].astype(bool)
+        tan = np.where(same[:, None], tan, 0.0)
+        norm = np.linalg.norm(tan, axis=-1, keepdims=True)
+        tan = np.divide(tan, norm, out=np.zeros_like(tan), where=norm > 0)
+        cones = vector_cones_figure(
+            pos, tan, valid=valid & same, title="curve tangents",
+            path=os.path.join(viz_dir, f"tangents_{i}.png"))
+        logger.log_media(f"viz/tangents_{i}", cones)
 
         if info.task == "segmentation" and gt is not None:
             cm = label_colormap(info.n_out)

@@ -10,17 +10,20 @@ from .mitsuba_render import (
 from .plots import (
     grouping_edges_figure,
     label_colormap,
+    nocs_figure,
     plot_confusion,
     plot_curve_cloud,
     plot_segmentation,
     render_bev,
     to_plotly_figure,
+    vector_cones_figure,
 )
 
 __all__ = [
     "grouping_edges_figure",
     "have_mitsuba",
     "label_colormap",
+    "nocs_figure",
     "plot_confusion",
     "plot_curve_cloud",
     "plot_segmentation",
@@ -29,4 +32,5 @@ __all__ = [
     "render_segmentation_panels",
     "save_png",
     "to_plotly_figure",
+    "vector_cones_figure",
 ]

@@ -209,6 +209,121 @@ def grouping_edges_figure(pos, nbr_idx, query_pos=None, valid=None,
     return out
 
 
+def vector_cones_figure(pos, vecs, valid=None, title: str = "vectors",
+                        max_points: int = 4000, path: Optional[str] = None):
+    """Per-point direction field as cones/quiver (reference
+    ``visualize_plotly.py:19-49`` renders normals and curve directions as
+    ``go.Cone`` traces).  Plotly Cone figure when plotly is installed,
+    matplotlib 3D quiver to ``path`` otherwise.
+
+    pos: (N, 3); vecs: (N, 3) direction per point (e.g. predicted normals
+    or curve tangents).
+    """
+    pos, v = _unpad(pos, valid, vecs)
+    if len(pos) > max_points:
+        sel = np.random.default_rng(0).choice(len(pos), max_points, False)
+        pos, v = pos[sel], v[sel]
+    try:
+        import plotly.graph_objects as go
+
+        fig = go.Figure(data=[go.Cone(
+            x=pos[:, 0], y=pos[:, 1], z=pos[:, 2],
+            u=v[:, 0], v=v[:, 1], w=v[:, 2],
+            sizemode="scaled", sizeref=8.0)])
+        fig.update_layout(title_text=title, scene_aspectmode="cube")
+        return fig
+    except ImportError:
+        pass
+    plt = _mpl()
+    fig = plt.figure(figsize=(8, 8))
+    ax = fig.add_subplot(projection="3d")
+    ax.quiver(pos[:, 0], pos[:, 1], pos[:, 2],
+              v[:, 0], v[:, 1], v[:, 2], length=0.05, linewidth=0.4,
+              normalize=True)
+    ax.set_title(title)
+    ax.set_axis_off()
+    out = path or "cones.png"
+    fig.savefig(out, dpi=150)
+    plt.close(fig)
+    return out
+
+
+def _unit_box_edges(offset=(0.0, 0.0, 0.0)):
+    """12 wireframe edges of the unit cube at ``offset`` (N-separated)."""
+    c = np.array([[x, y, z] for x in (0, 1) for y in (0, 1)
+                  for z in (0, 1)], np.float32) + np.asarray(offset)
+    pairs = [(0, 1), (0, 2), (0, 4), (1, 3), (1, 5), (2, 3), (2, 6),
+             (3, 7), (4, 5), (4, 6), (5, 7), (6, 7)]
+    return np.array([c[a] for a, b in pairs]), np.array(
+        [c[b] for a, b in pairs])
+
+
+def nocs_figure(pos, pred_nocs, gt_nocs, errs=None, max_err: float = 0.1,
+                title: str = "NOCS prediction error",
+                path: Optional[str] = None):
+    """NOCS prediction panels: input cloud colored by error, predicted and
+    GT normalized-object coordinates side by side inside unit-box wireframes
+    (reference ``visualize_plotly.py:106-160,308-327`` /
+    ``visualize_mitsuba.py:10-30``).
+
+    pos/pred_nocs/gt_nocs: (N, 3); errs: (N,) per-point L1 error (defaults
+    to |pred - gt| mean).  NOCS values are in [-0.5, 0.5]; panels are shifted
+    along +x like the reference (input at 0, pred at +1.2, GT at +2.4).
+    """
+    pos = np.asarray(pos, np.float32)
+    pred = np.asarray(pred_nocs, np.float32) + 0.5
+    gt = np.asarray(gt_nocs, np.float32) + 0.5
+    if errs is None:
+        errs = np.abs(pred - gt).mean(-1)
+    errs = np.clip(np.asarray(errs, np.float32) / max_err, 0, 1)
+    err_c = np.stack([errs, 1.0 - errs, np.zeros_like(errs)], -1)
+    panels = [(pos - pos.mean(0) + np.array([0.5, 0.5, 0.5]), err_c),
+              (pred + np.array([1.2, 0, 0]), np.clip(gt, 0, 1)),
+              (gt + np.array([2.4, 0, 0]), np.clip(gt, 0, 1))]
+    boxes = [_unit_box_edges((dx, 0, 0)) for dx in (0.0, 1.2, 2.4)]
+    try:
+        import plotly.graph_objects as go
+
+        data = []
+        for p, c in panels:
+            rgb = [f"rgb({int(r*255)},{int(g*255)},{int(b*255)})"
+                   for r, g, b in c]
+            data.append(go.Scatter3d(x=p[:, 0], y=p[:, 1], z=p[:, 2],
+                                     mode="markers",
+                                     marker=dict(size=2, color=rgb)))
+        xs, ys, zs = [], [], []
+        for a, b in boxes:
+            for s, e in zip(a, b):
+                xs += [s[0], e[0], None]
+                ys += [s[1], e[1], None]
+                zs += [s[2], e[2], None]
+        data.append(go.Scatter3d(x=xs, y=ys, z=zs, mode="lines",
+                                 line=dict(color="rgb(70,70,70)", width=1)))
+        fig = go.Figure(data=data)
+        fig.update_layout(title=title, scene_aspectmode="data")
+        return fig
+    except ImportError:
+        pass
+    plt = _mpl()
+    from mpl_toolkits.mplot3d.art3d import Line3DCollection
+
+    fig = plt.figure(figsize=(12, 5))
+    ax = fig.add_subplot(projection="3d")
+    for p, c in panels:
+        ax.scatter(p[:, 0], p[:, 1], p[:, 2], c=c, s=1.5, linewidths=0)
+    for a, b in boxes:
+        ax.add_collection3d(Line3DCollection(
+            np.stack([a, b], axis=1), linewidths=0.5,
+            colors=(0.3, 0.3, 0.3, 0.8)))
+    ax.set_xlim(-0.2, 3.6); ax.set_ylim(-0.2, 1.2); ax.set_zlim(-0.2, 1.2)
+    ax.set_title(title)
+    ax.set_axis_off()
+    out = path or "nocs.png"
+    fig.savefig(out, dpi=150)
+    plt.close(fig)
+    return out
+
+
 def to_plotly_figure(pos, labels, valid=None):
     """Interactive 3D figure when plotly is available (optional dep)."""
     try:

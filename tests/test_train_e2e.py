@@ -175,5 +175,6 @@ def test_only_viz_writes_media(tmp_path):
     assert any(n.startswith("viz_curves_0") for n in media), media
     assert any(n.startswith("viz_seg_0") for n in media), media
     assert any(n.startswith("viz_groupings_0") for n in media), media
+    assert any(n.startswith("viz_tangents_0") for n in media), media
     assert any(n.startswith("viz_panels_0") for n in media), media
     assert (out / "viz").exists()

@@ -74,3 +74,26 @@ def test_log_media_without_wandb(tmp_path):
     assert any(f.startswith("seg_panel_3") for f in files)
     recs = [json.loads(l) for l in open(tmp_path / "metrics.jsonl")]
     assert any("media/seg_panel" in r for r in recs)
+
+
+def test_vector_cones_fallback(tmp_path):
+    pos = _ball(200)
+    vecs = np.roll(pos, -1, axis=0) - pos
+    out = V.vector_cones_figure(pos, vecs,
+                                path=str(tmp_path / "cones.png"))
+    if isinstance(out, str):
+        assert os.path.exists(out)
+    else:
+        assert hasattr(out, "to_plotly_json")
+
+
+def test_nocs_figure_fallback(tmp_path):
+    rng = np.random.default_rng(0)
+    pos = _ball(150)
+    gt = rng.uniform(-0.5, 0.5, (150, 3)).astype(np.float32)
+    pred = gt + rng.normal(scale=0.02, size=(150, 3)).astype(np.float32)
+    out = V.nocs_figure(pos, pred, gt, path=str(tmp_path / "nocs.png"))
+    if isinstance(out, str):
+        assert os.path.exists(out)
+    else:
+        assert hasattr(out, "to_plotly_json")

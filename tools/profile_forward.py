@@ -86,12 +86,16 @@ def main():
         CurveCloudNet, cloud_from_arrays, parse_model_config,
     )
 
-    n_points = int(os.environ.get("PROF_POINTS", 32768))
     trace_dir = os.environ.get("PROF_DIR", "/tmp/ccn_trace")
-    cfg = load_config("configs/nuscenes.yaml")
+    cfg = load_config(os.environ.get("PROF_CONFIG", "configs/nuscenes.yaml"))
+    n_points = int(os.environ.get("PROF_POINTS", cfg.get("n_pad", 32768)))
     # match bench.py's default compute dtype so the profile reflects the bench
     cfg["model"]["compute_dtype"] = os.environ.get("PROF_DTYPE", "bfloat16")
-    spec = parse_model_config(cfg["model"], in_dim=4, n_out=17)
+    from curvecloudnet_tpu.run import tasks as _T
+
+    n_out = _T.task_for(cfg.get("dataset_source", "nuscenes"),
+                        cfg.get("task", "segmentation")).n_out
+    spec = parse_model_config(cfg["model"], in_dim=4, n_out=n_out)
     model = CurveCloudNet(spec, n_points=n_points)
     rng = np.random.default_rng(0)
     pos, feat, cid, valid, _ = synthetic_lidar_batch(rng, 1, n_points)
@@ -106,7 +110,7 @@ def main():
         )
 
         labels = jnp.asarray(
-            np.random.default_rng(1).integers(0, 17, (1, n_points)))
+            np.random.default_rng(1).integers(0, n_out, (1, n_points)))
         b = Batch(cloud=cloud, labels=labels)
         state = create_train_state(model, b, key, make_schedule(None, 5e-4, 100))
         step = jax.jit(build_train_step(
