@@ -52,22 +52,75 @@ def _maybe_attend_mlp(spec: ModelSpec, step: StepSpec, d: int,
     return None
 
 
+def _fused_group_eval(module: nn.Module, spec: ModelSpec, step: StepSpec,
+                      dims: Tuple[int, ...], h1_fn, nbr_mask,
+                      act: str) -> Optional[jax.Array]:
+    """Shared eval-megakernel dispatch for every grouped conv family.
+
+    ``h1_fn()`` must return the layer-0 pre-norm messages (B, M, K, C1);
+    the kernel (ops/pallas_group.py) runs the remaining BN-folded MLP +
+    attention/max aggregation VMEM-resident.  Returns None (caller keeps
+    the unfused path) when training-mode stats are needed, params aren't
+    bound yet, or the backend is CPU (unless CCN_FUSED_GROUP=interp).
+    """
+    import os
+
+    env = os.environ.get("CCN_FUSED_GROUP", "1")
+    interp = env == "interp"
+    if (env == "0" or step.aggr_type not in ("attend", "max")
+            or module.is_initializing()
+            or (jax.default_backend() in ("cpu",) and not interp)):
+        return None
+    try:
+        p = module.variables["params"]["nn"]
+        bs = module.variables["batch_stats"]["nn"]
+        pa = ba = None
+        if step.aggr_type == "attend":
+            pa = module.variables["params"]["attend_nn"]
+            ba = module.variables["batch_stats"]["attend_nn"]
+    except (KeyError, AttributeError):
+        return None
+    from ..ops import pallas_group
+
+    h1 = h1_fn()
+    aff, loc = pallas_group.fold_mlp_eval(p, bs, len(dims) - 1)
+    if len(dims) - 1 == 1:
+        act = "identity"    # single plain layer: h1 already final
+    att = None
+    if step.aggr_type == "attend":
+        att = pallas_group.fold_full_mlp_eval(
+            pa, ba, len(_attend_dims(spec, step, dims[-1])) - 1)
+    out = pallas_group.fused_group_reduce(
+        h1, nbr_mask, aff, loc, att, aggr=step.aggr_type,
+        act=act, attend_act="leaky_relu", interpret=interp)
+    return out.astype(_dt(spec) or jnp.float32)
+
+
 def _group_conv(local_nn: MLP, attend_nn: Optional[MLP], step: StepSpec,
                 x_src: Optional[jax.Array], pos_src: jax.Array,
                 pos_dst: jax.Array, nbr_idx: jax.Array, nbr_mask: jax.Array,
-                train: bool, bn_momentum) -> jax.Array:
+                train: bool, bn_momentum, fused_ctx=None) -> jax.Array:
     """PointNetConv2 message+aggregate (reference point_conv.py:60-93).
 
     msg = [x_j, (pos_j - pos_i)/r?] -> local_nn -> masked aggregation.
+    ``fused_ctx=(module, spec, dims)`` enables the eval megakernel path.
     """
     rel = neighbors.gather_neighbors(pos_src, nbr_idx) - pos_dst[:, :, None, :]
     if step.normalize_radius and step.radius:
         rel = rel / step.radius
     if x_src is not None:
         xj = neighbors.gather_neighbors(x_src, nbr_idx)
-        msg = jnp.concatenate([xj, rel], axis=-1)
+        msg = jnp.concatenate([xj, rel.astype(xj.dtype)], axis=-1)
     else:
         msg = rel
+    if fused_ctx is not None and not train:
+        module, spec, dims = fused_ctx
+        fused = _fused_group_eval(
+            module, spec, step, dims,
+            lambda: local_nn(msg, mask=nbr_mask, train=False, upto=0),
+            nbr_mask, act=local_nn.act)
+        if fused is not None:
+            return fused
     msg = local_nn(msg, mask=nbr_mask, train=train, bn_momentum=bn_momentum)
     logits = None
     if attend_nn is not None:
@@ -130,7 +183,8 @@ class SAStep(nn.Module):
                        dtype=_dt(self.spec), name="nn")
         attend_nn = _maybe_attend_mlp(self.spec, step, self.dims[-1])
         x = _group_conv(local_nn, attend_nn, step, cloud.x, cloud.pos,
-                        down.pos, nbr_idx, nbr_mask, train, bn_momentum)
+                        down.pos, nbr_idx, nbr_mask, train, bn_momentum,
+                        fused_ctx=(self, self.spec, self.dims))
         return down.with_features(x)
 
 
@@ -147,6 +201,36 @@ class CurveSAStep(nn.Module):
     def window(self) -> int:
         # static candidate half-window for the geodesic group (config knob)
         return self.step.curve_window
+
+    def _fused_eval(self, cloud: Cloud, down: Cloud, idx, nbr_mask,
+                    local_nn, attend_nn):
+        """Eval megakernel: window gather + lin_0 in XLA, then the whole
+        BN-affine -> MLP -> attention-softmax/max pipeline VMEM-resident
+        (ops/pallas_group.py).  Replaces the chunked streaming walk on TPU;
+        returns None (caller falls through) when not applicable."""
+        import os
+
+        step = self.step
+
+        def h1_fn():
+            # first layer exactly as the materialized path below; rel is
+            # pre-cast to the feature dtype — the Dense would cast the
+            # concat anyway, so this halves HBM traffic without changing
+            # a single rounding
+            pw = curve1d.gather_window_features(cloud.pos, idx, self.window)
+            rel = pw - down.pos[:, :, None, :]
+            if step.normalize_radius and step.radius:
+                rel = rel / step.radius
+            if cloud.x is not None:
+                xw = curve1d.gather_window_features(cloud.x, idx,
+                                                    self.window)
+                msg = jnp.concatenate([xw, rel.astype(xw.dtype)], axis=-1)
+            else:
+                msg = rel
+            return local_nn(msg, mask=nbr_mask, train=False, upto=0)
+
+        return _fused_group_eval(self, self.spec, step, self.dims, h1_fn,
+                                 nbr_mask, act="leaky_relu")
 
     def _stream(self, cloud: Cloud, down: Cloud, idx, nbr_mask, local_nn,
                 attend_nn, train, bn_momentum):
@@ -295,6 +379,11 @@ class CurveSAStep(nn.Module):
         # streams only in eval; CCN_STREAM_SAGEO=force enables it for
         # memory-constrained training.  On CPU the default stays
         # materialized to keep golden activations bit-stable.
+        if not train:
+            fused = self._fused_eval(cloud, down, idx, nbr_mask, local_nn,
+                                     attend_nn)
+            if fused is not None:
+                return down.with_features(fused)
         stream_env = os.environ.get("CCN_STREAM_SAGEO", "auto")
         use_stream = (step.aggr_type in ("attend", "max")
                       and stream_env != "0"
@@ -528,6 +617,16 @@ class EdgeConvStep(nn.Module):
                     u, v = d_0x - b_only, d_pm
                 return (neighbors.gather_neighbors(u, nbr_idx)
                         + v[:, :, None, :])
+
+            if not train:
+                fused = _fused_group_eval(
+                    self, self.spec, step, self.dims,
+                    lambda: local_nn(None, mask=nbr_mask, train=False,
+                                     first_map=first_map, upto=0),
+                    nbr_mask, act=local_nn.act)
+                if fused is not None:
+                    return cloud.with_features(
+                        fused * cloud.valid[..., None])
 
             msg = local_nn(None, mask=nbr_mask, train=train,
                            bn_momentum=bn_momentum, first_map=first_map)

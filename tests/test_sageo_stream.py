@@ -54,6 +54,26 @@ def test_stream_matches_materialized(aggr):
 
 
 @pytest.mark.parametrize("aggr", ["attend", "max"])
+def test_fused_group_matches_materialized(aggr):
+    """Eval megakernel path (ops/pallas_group.py, interpreter mode) ==
+    materialized path.  BN folding reassociates the affine, so tolerance is
+    looser than the stream test but still tight in f32."""
+    mod, vs, cloud = _setup(aggr)
+    kw = dict(train=False, key=jax.random.PRNGKey(1))
+    try:
+        os.environ["CCN_FUSED_GROUP"] = "0"
+        ref = mod.apply(vs, cloud, **kw)
+        os.environ["CCN_FUSED_GROUP"] = "interp"
+        out = mod.apply(vs, cloud, **kw)
+    finally:
+        os.environ["CCN_FUSED_GROUP"] = "1"
+    np.testing.assert_allclose(np.asarray(out.x), np.asarray(ref.x),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(out.valid),
+                                  np.asarray(ref.valid))
+
+
+@pytest.mark.parametrize("aggr", ["attend", "max"])
 def test_train_stream_matches_materialized(aggr):
     """Train mode: outputs, updated running stats, AND parameter gradients
     must match (the chunked two-pass BN statistics are differentiable, so

@@ -141,6 +141,73 @@ def main():
 
     check("grid_knn", grid_check)
 
+    def group_check():
+        from curvecloudnet_tpu.ops import pallas_group
+
+        m, k, c1 = 4096, 65, 64
+        dims, att_dims = (128, 192, 256), (256, 256)
+        r2 = np.random.default_rng(7)
+        h1 = jnp.asarray(r2.normal(size=(1, m, k, c1)), jnp.bfloat16)
+        mask = jnp.asarray(r2.random((1, m, k)) > 0.3)
+        aff = (jnp.asarray(r2.random(c1) + 0.5, jnp.float32),
+               jnp.asarray(r2.normal(size=c1) * 0.1, jnp.float32))
+
+        def mk(prev, ds):
+            out = []
+            for d in ds:
+                out.append(
+                    (jnp.asarray(r2.normal(size=(prev, d)) / np.sqrt(prev),
+                                 jnp.float32),
+                     jnp.asarray(r2.normal(size=d) * 0.1, jnp.float32)))
+                prev = d
+            return tuple(out), prev
+
+        loc, last = mk(c1, dims)
+        att, _ = mk(last, att_dims)
+        for aggr in ("attend", "max"):
+            got = pallas_group.fused_group_reduce(
+                h1, mask, aff, loc, att if aggr == "attend" else None,
+                aggr=aggr)
+            jax.block_until_ready(got)
+
+            # XLA reference of the same folded composition
+            def ref():
+                act = lambda v: jnp.where(v > 0, v, 0.01 * v)
+                h = (h1.astype(jnp.float32) * aff[0]
+                     + aff[1]).astype(h1.dtype)
+                h = act(h)
+                for li, (w, b) in enumerate(loc):
+                    h = (jnp.einsum("bmkc,cd->bmkd", h.astype(jnp.bfloat16),
+                                    w.astype(jnp.bfloat16),
+                                    preferred_element_type=jnp.float32)
+                         + b).astype(h1.dtype)
+                    if li < len(loc) - 1:
+                        h = act(h)
+                if aggr == "max":
+                    return jnp.max(
+                        jnp.where(mask[..., None], h.astype(jnp.float32),
+                                  -1e2), axis=2)
+                lg = h
+                for li, (w, b) in enumerate(att):
+                    lg = (jnp.einsum("bmkc,cd->bmkd",
+                                     lg.astype(jnp.bfloat16),
+                                     w.astype(jnp.bfloat16),
+                                     preferred_element_type=jnp.float32)
+                          + b).astype(h1.dtype)
+                    if li < len(att) - 1:
+                        lg = act(lg)
+                lg = jnp.where(mask[..., None], lg, -5e2).astype(jnp.float32)
+                mx = jnp.max(lg, axis=2, keepdims=True)
+                e = jnp.exp(lg - mx)
+                return (jnp.sum(e * h.astype(jnp.float32), axis=2)
+                        / jnp.sum(e, axis=2))
+
+            want = jax.jit(ref)()
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       rtol=0.1, atol=0.1)
+
+    check("pallas_group fused MLP+aggregate", group_check)
+
     if FAILURES:
         print(f"SMOKE FAILED: {FAILURES}", flush=True)
         sys.exit(1)
