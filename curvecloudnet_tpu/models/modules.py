@@ -54,7 +54,7 @@ def _maybe_attend_mlp(spec: ModelSpec, step: StepSpec, d: int,
 
 def _fused_group_eval(module: nn.Module, spec: ModelSpec, step: StepSpec,
                       dims: Tuple[int, ...], h1_fn, nbr_mask,
-                      act: str) -> Optional[jax.Array]:
+                      act: str, family: str = "") -> Optional[jax.Array]:
     """Shared eval-megakernel dispatch for every grouped conv family.
 
     ``h1_fn()`` must return the layer-0 pre-norm messages (B, M, K, C1);
@@ -65,9 +65,14 @@ def _fused_group_eval(module: nn.Module, spec: ModelSpec, step: StepSpec,
     """
     import os
 
-    env = os.environ.get("CCN_FUSED_GROUP", "1")
+    # Default: sa-geo + SA fused, edge NOT — measured on v5e at 36864:
+    # sageo +2.1%, sa +1.3%, edge -2.6% (the per-level edge kernels are
+    # small wins per call but each custom-call is a scheduling barrier
+    # that exposes async-copy latency; see CLAUDE.md round-3 notes).
+    env = os.environ.get("CCN_FUSED_GROUP", "sageo,sa")
     interp = env == "interp"
-    if (env == "0" or step.aggr_type not in ("attend", "max")
+    enabled = env in ("1", "interp") or family in env.split(",")
+    if (not enabled or step.aggr_type not in ("attend", "max")
             or module.is_initializing()
             or (jax.default_backend() in ("cpu",) and not interp)):
         return None
@@ -118,7 +123,7 @@ def _group_conv(local_nn: MLP, attend_nn: Optional[MLP], step: StepSpec,
         fused = _fused_group_eval(
             module, spec, step, dims,
             lambda: local_nn(msg, mask=nbr_mask, train=False, upto=0),
-            nbr_mask, act=local_nn.act)
+            nbr_mask, act=local_nn.act, family="sa")
         if fused is not None:
             return fused
     msg = local_nn(msg, mask=nbr_mask, train=train, bn_momentum=bn_momentum)
@@ -230,7 +235,8 @@ class CurveSAStep(nn.Module):
             return local_nn(msg, mask=nbr_mask, train=False, upto=0)
 
         return _fused_group_eval(self, self.spec, step, self.dims, h1_fn,
-                                 nbr_mask, act="leaky_relu")
+                                 nbr_mask, act="leaky_relu",
+                                 family="sageo")
 
     def _stream(self, cloud: Cloud, down: Cloud, idx, nbr_mask, local_nn,
                 attend_nn, train, bn_momentum):
@@ -623,7 +629,7 @@ class EdgeConvStep(nn.Module):
                     self, self.spec, step, self.dims,
                     lambda: local_nn(None, mask=nbr_mask, train=False,
                                      first_map=first_map, upto=0),
-                    nbr_mask, act=local_nn.act)
+                    nbr_mask, act=local_nn.act, family="edge")
                 if fused is not None:
                     return cloud.with_features(
                         fused * cloud.valid[..., None])

@@ -104,6 +104,22 @@ def grid_knn_single(query, points, q_valid, p_valid, k: int, radius: float,
 
     cand = table[nbr_buckets]  # (Q, 27, cap*4) contiguous row gathers
     q_, c_ = query.shape[0], 27 * cap
+
+    # Fused tail: distances + radius mask + packed top-k extraction run in
+    # one Pallas kernel straight off the gathered record rows — the
+    # (Q, 27, cap) distance/index planes (multi-GB at KITTI scale, and
+    # layout-hostile: XLA picks T(1,128) tilings for them) never reach HBM.
+    import os
+
+    if (jax.default_backend() not in ("cpu",)
+            and os.environ.get("CCN_GRID_FUSED", "1") != "0"):
+        from . import pallas_topk
+
+        k_eff = min(k, c_)
+        top_d2, top_idx = pallas_topk.grid_topk_records(
+            cand.reshape(q_, 27 * cap * 4), query, q_valid, k_eff, cap,
+            radius)
+        return _finalize(top_d2, top_idx, k, k_eff)
     # distances computed in the table's channel-major layout — transposing
     # to (Q, 27*cap, 4) first materializes multi-GB relayout copies at the
     # caps real densities need

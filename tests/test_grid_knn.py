@@ -59,3 +59,59 @@ def test_grid_knn_no_invalid_neighbors(rng):
                       jnp.array(qv), jnp.array(pv), 6, 0.5, cap=32)
     i = np.asarray(idx)
     assert (i < 50).all()  # -1 or a valid index < 50
+
+
+def test_grid_topk_records_kernel_matches_xla_tail(rng):
+    """The fused Pallas grid tail (distances+mask+extraction off raw record
+    rows, ops/pallas_topk.grid_topk_records) == the XLA tail it replaces,
+    in interpreter mode on synthetic bucket rows."""
+    import jax
+    from curvecloudnet_tpu.ops import pallas_topk
+
+    q_n, cap, ncells, k, radius = 96, 16, 27, 8, 0.3
+    w = ncells * cap
+    # synthetic record rows: mixture of valid points near the query and
+    # INF/-1 fills, in the table's channel-major [x*cap,y*cap,z*cap,i*cap]
+    query = rng.uniform(-1, 1, (q_n, 3)).astype(np.float32)
+    q_valid = rng.random(q_n) > 0.1
+    rows = np.empty((q_n, ncells, 4 * cap), np.float32)
+    neg1 = np.float32(np.frombuffer(np.int32(-1).tobytes(), np.float32)[0])
+    for i in range(q_n):
+        for c in range(ncells):
+            for j in range(cap):
+                if rng.random() < 0.5:
+                    p = query[i] + rng.normal(0, 0.25, 3)
+                    pid = rng.integers(0, 10000)
+                    rows[i, c, j::cap] = [*p.astype(np.float32),
+                                          np.frombuffer(
+                                              np.int32(pid).tobytes(),
+                                              np.float32)[0]]
+                else:
+                    rows[i, c, j::cap] = [1e30, 1e30, 1e30, neg1]
+    cand = jnp.asarray(rows.reshape(q_n, ncells * 4 * cap))
+    got_d, got_i = pallas_topk.grid_topk_records(
+        cand, jnp.asarray(query), jnp.asarray(q_valid), k, cap, radius,
+        interpret=True)
+
+    # XLA reference tail (mirrors ops/grid_knn.py's unfused branch)
+    c4 = rows.reshape(q_n, ncells, 4, cap)
+    d2 = ((c4[:, :, 0] - query[:, None, 0:1]) ** 2
+          + (c4[:, :, 1] - query[:, None, 1:2]) ** 2
+          + (c4[:, :, 2] - query[:, None, 2:3]) ** 2)
+    cidx = c4[:, :, 3].view(np.int32)
+    good = (cidx >= 0) & q_valid[:, None, None] & (d2 <= radius * radius)
+    d2 = np.where(good, d2, 1e30).reshape(q_n, w)
+    cidx = cidx.reshape(q_n, w)
+    order = np.argsort(d2, axis=-1, kind="stable")[:, :k]
+    want_d = np.take_along_axis(d2, order, axis=-1)
+    want_i = np.where(want_d < 1e29,
+                      np.take_along_axis(cidx, order, axis=-1), -1)
+
+    gd, gi = np.asarray(got_d), np.asarray(got_i)
+    np.testing.assert_array_equal(gi >= 0, want_i >= 0)
+    finite = want_i >= 0
+    # packed extraction quantizes the low bits of d2
+    np.testing.assert_allclose(gd[finite], want_d[finite], rtol=2e-2,
+                               atol=1e-5)
+    match = (gi[finite] == want_i[finite]).mean()
+    assert match > 0.95, f"index agreement {match}"

@@ -141,6 +141,27 @@ def main():
 
     check("grid_knn", grid_check)
 
+    def grid_fused_check():
+        # fused vs unfused grid tail on the same inputs (real chip)
+        gi, gd = jax.jit(lambda q, p, qv, pv: grid_knn(
+            q, p, qv, pv, 16, 0.08, cap=192))(pos, pos, valid, valid)
+        jax.block_until_ready(gd)
+        os.environ["CCN_GRID_FUSED"] = "0"
+        grid_knn.clear_cache()  # env branch is read at trace time
+        try:
+            gi0, gd0 = jax.jit(lambda q, p, qv, pv: grid_knn(
+                q, p, qv, pv, 16, 0.08, cap=192))(pos, pos, valid, valid)
+            jax.block_until_ready(gd0)
+        finally:
+            os.environ.pop("CCN_GRID_FUSED", None)
+            grid_knn.clear_cache()
+        a, b = np.asarray(gd)[0], np.asarray(gd0)[0]
+        fin = b < 1e20
+        assert ((np.asarray(gi)[0] >= 0) == (np.asarray(gi0)[0] >= 0)).mean() > 0.999
+        np.testing.assert_allclose(a[fin], b[fin], rtol=2e-2, atol=1e-4)
+
+    check("grid_topk_records fused tail", grid_fused_check)
+
     def group_check():
         from curvecloudnet_tpu.ops import pallas_group
 
