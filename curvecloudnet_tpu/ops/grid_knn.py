@@ -102,13 +102,12 @@ def grid_knn_single(query, points, q_valid, p_valid, k: int, radius: float,
                           0, _MASK)
     nbr_buckets = _hash(_pack(nbr_coords))  # (Q, 27)
 
-    cand = table[nbr_buckets]  # (Q, 27, cap*4) contiguous row gathers
     q_, c_ = query.shape[0], 27 * cap
 
-    # Fused tail: distances + radius mask + packed top-k extraction run in
-    # one Pallas kernel straight off the gathered record rows — the
-    # (Q, 27, cap) distance/index planes (multi-GB at KITTI scale, and
-    # layout-hostile: XLA picks T(1,128) tilings for them) never reach HBM.
+    # Fused tail: per-cell row gathers feed one Pallas kernel that runs
+    # distances + radius mask + packed top-k extraction — the (Q, 27, cap)
+    # distance/index planes (multi-GB at KITTI scale, and layout-hostile:
+    # XLA picks T(1,128) tilings for them) never reach HBM.
     import os
 
     if (jax.default_backend() not in ("cpu",)
@@ -117,9 +116,10 @@ def grid_knn_single(query, points, q_valid, p_valid, k: int, radius: float,
 
         k_eff = min(k, c_)
         top_d2, top_idx = pallas_topk.grid_topk_records(
-            cand.reshape(q_, 27 * cap * 4), query, q_valid, k_eff, cap,
-            radius)
+            table, nbr_buckets, query, q_valid, k_eff, cap, radius)
         return _finalize(top_d2, top_idx, k, k_eff)
+
+    cand = table[nbr_buckets]  # (Q, 27, cap*4) contiguous row gathers
     # distances computed in the table's channel-major layout — transposing
     # to (Q, 27*cap, 4) first materializes multi-GB relayout copies at the
     # caps real densities need

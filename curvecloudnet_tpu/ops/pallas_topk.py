@@ -71,16 +71,21 @@ def _round_up(x, m):
     return -(-x // m) * m
 
 
-def _grid_topk_kernel(cand_ref, q_ref, qv_ref, out_d, out_i, packed_s,
-                      ival_s, *, k: int, cap: int, ncells: int, tile_q: int,
+def _grid_topk_kernel(*refs, k: int, cap: int, ncells: int, tile_q: int,
                       r2: float):
     """Distances + radius mask + packed min-extraction over raw grid rows.
 
-    cand_ref: (tile_q, ncells*cap*4) f32 — gathered bucket rows in the
-    table's channel-major layout [x*cap, y*cap, z*cap, idxbits*cap] per
-    cell (ops/grid_knn.py builds them); the (Q, 27, cap) distance/index
-    planes that the XLA path materializes in HBM never exist here.
+    refs: ncells x (tile_q, cap*4) f32 bucket-row planes in the table's
+    channel-major layout [x*cap, y*cap, z*cap, idxbits*cap]
+    (ops/grid_knn.py builds them), then (tile_q, 4) [qx, qy, qz, valid],
+    then outputs + scratch.  One plane per neighbor cell keeps every
+    operand 2D and reshape/pad-free — merging them in XLA re-tiles the
+    multi-GB candidate array twice (measured 55 ms/step at KITTI scale).
     """
+    cand_refs = refs[:ncells]
+    q_ref = refs[ncells]
+    out_d, out_i = refs[ncells + 1], refs[ncells + 2]
+    packed_s, ival_s = refs[ncells + 3], refs[ncells + 4]
     w = ncells * cap
     pw = 1
     while pw < w:
@@ -90,16 +95,15 @@ def _grid_topk_kernel(cand_ref, q_ref, qv_ref, out_d, out_i, packed_s,
     qx = q_ref[:, 0:1]
     qy = q_ref[:, 1:2]
     qz = q_ref[:, 2:3]
-    qv = qv_ref[:, 0:1] > 0
+    qv = q_ref[:, 3:4] > 0
     colc = jax.lax.broadcasted_iota(jnp.int32, (tile_q, cap), 1)
 
     for c in range(ncells):
-        base = c * cap * 4
-        px = cand_ref[:, base:base + cap]
-        py = cand_ref[:, base + cap:base + 2 * cap]
-        pz = cand_ref[:, base + 2 * cap:base + 3 * cap]
+        px = cand_refs[c][:, 0:cap]
+        py = cand_refs[c][:, cap:2 * cap]
+        pz = cand_refs[c][:, 2 * cap:3 * cap]
         ib = jax.lax.bitcast_convert_type(
-            cand_ref[:, base + 3 * cap:base + 4 * cap], jnp.int32)
+            cand_refs[c][:, 3 * cap:4 * cap], jnp.int32)
         d2 = (px - qx) ** 2 + (py - qy) ** 2 + (pz - qz) ** 2
         good = (ib >= 0) & (d2 <= r2) & qv
         bits = jax.lax.bitcast_convert_type(
@@ -135,41 +139,52 @@ def _grid_topk_kernel(cand_ref, q_ref, qv_ref, out_d, out_i, packed_s,
     out_i[:] = jnp.where(good, best_i, -1)
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("k", "cap", "ncells", "radius", "tile_q",
-                                    "interpret"))
-def grid_topk_records(cand: jax.Array, query: jax.Array, q_valid: jax.Array,
-                      k: int, cap: int, radius: float, ncells: int = 27,
-                      tile_q: int | None = None, interpret: bool = False):
-    """Top-k nearest within ``radius`` from raw grid bucket rows.
+def _pick_tile(q: int, cap: int, ncells: int) -> int:
+    """Largest tile <=256 that divides q (no padding => no multi-GB pad
+    copy of the gathered rows), budgeted for VMEM."""
+    budget = max(8, min(256, (48_000_000 // (40 * ncells * cap)) // 8 * 8))
+    for t in range(budget - budget % 8, 7, -8):
+        if q % t == 0:
+            return t
+    return budget
 
-    cand (Q, ncells*cap*4) f32 rows as gathered from the grid table
-    (ops/grid_knn.py record layout), query (Q, 3), q_valid (Q,) ->
-    (d2 (Q, k), point-index (Q, k)) with the packed-extraction low-bit
-    quantization of :func:`topk_smallest`.
+
+@functools.partial(jax.jit,
+                   static_argnames=("k", "cap", "radius", "tile_q",
+                                    "interpret"))
+def grid_topk_records(table: jax.Array, nbr_buckets: jax.Array,
+                      query: jax.Array, q_valid: jax.Array,
+                      k: int, cap: int, radius: float,
+                      tile_q: int | None = None, interpret: bool = False):
+    """Top-k nearest within ``radius`` from grid bucket rows.
+
+    table (NB+1, cap*4) f32 record table and nbr_buckets (Q, ncells) from
+    ops/grid_knn.py; query (Q, 3), q_valid (Q,) -> (d2 (Q, k),
+    point-index (Q, k)) with the packed-extraction low-bit quantization of
+    :func:`topk_smallest`.  The per-cell gathers happen here so each
+    kernel operand is an independent clean-tiled (Q, cap*4) plane.
     """
-    q = cand.shape[0]
-    w = ncells * cap
+    q, ncells = nbr_buckets.shape
     if tile_q is None:
-        # cand block dominates: ~(4W f32 in + 2W packed/ival scratch) per
-        # query row, double-buffered input
-        tile_q = max(8, min(256, (48_000_000 // (40 * w)) // 8 * 8))
+        tile_q = _pick_tile(q, cap, ncells)
     qp = _round_up(q, tile_q)
-    cand = jnp.pad(cand.astype(jnp.float32), ((0, qp - q), (0, 0)))
-    query = jnp.pad(query.astype(jnp.float32), ((0, qp - q), (0, 0)))
-    qv = jnp.pad(q_valid.astype(jnp.float32)[:, None], ((0, qp - q), (0, 0)))
+    planes = [jnp.pad(table[nbr_buckets[:, c]], ((0, qp - q), (0, 0)))
+              for c in range(ncells)]
+    qq = jnp.concatenate(
+        [query.astype(jnp.float32),
+         q_valid.astype(jnp.float32)[:, None]], axis=-1)
+    qq = jnp.pad(qq, ((0, qp - q), (0, 0)))
     kernel = functools.partial(_grid_topk_kernel, k=k, cap=cap,
                                ncells=ncells, tile_q=tile_q,
                                r2=float(radius) * float(radius))
+    w = ncells * cap
     out_d, out_i = pl.pallas_call(
         kernel,
         grid=(qp // tile_q,),
-        in_specs=[
-            pl.BlockSpec((tile_q, 4 * w), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_q, 3), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_q, 1), lambda i: (i, 0),
+        in_specs=[pl.BlockSpec((tile_q, 4 * cap), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)
+                  for _ in range(ncells)] + [
+            pl.BlockSpec((tile_q, 4), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -189,7 +204,7 @@ def grid_topk_records(cand: jax.Array, query: jax.Array, q_valid: jax.Array,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(cand, query, qv)
+    )(*planes, qq)
     return out_d[:q], out_i[:q]
 
 

@@ -88,10 +88,14 @@ def test_grid_topk_records_kernel_matches_xla_tail(rng):
                                               np.float32)[0]]
                 else:
                     rows[i, c, j::cap] = [1e30, 1e30, 1e30, neg1]
-    cand = jnp.asarray(rows.reshape(q_n, ncells * 4 * cap))
+    # one synthetic bucket row per (query, cell) so the table gather is
+    # the identity mapping
+    table = jnp.asarray(rows.reshape(q_n * ncells, 4 * cap))
+    nbr_buckets = jnp.arange(q_n * ncells, dtype=jnp.int32).reshape(
+        q_n, ncells)
     got_d, got_i = pallas_topk.grid_topk_records(
-        cand, jnp.asarray(query), jnp.asarray(q_valid), k, cap, radius,
-        interpret=True)
+        table, nbr_buckets, jnp.asarray(query), jnp.asarray(q_valid), k,
+        cap, radius, interpret=True)
 
     # XLA reference tail (mirrors ops/grid_knn.py's unfused branch)
     c4 = rows.reshape(q_n, ncells, 4, cap)
