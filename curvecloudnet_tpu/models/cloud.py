@@ -55,10 +55,15 @@ class Cloud(struct.PyTreeNode):
         return jnp.concatenate([self.x, self.pos], axis=-1)
 
     def gather(self, idx: jax.Array, idx_valid: jax.Array) -> "Cloud":
-        """Downsample to the given row indices (ascending per sample)."""
-        take = lambda a: jnp.take_along_axis(  # noqa: E731
-            a, idx.reshape(idx.shape + (1,) * (a.ndim - 2)), axis=1
-        )
+        """Downsample to the given row indices (ascending per sample).
+
+        Uses :func:`ops.segments.take_rows` so the train-mode transpose is an
+        inverse row gather instead of XLA's fused (C_total, N) scatter-add
+        (~16 ms/step at flagship scale on v5e).
+        """
+        from ..ops.segments import take_rows
+
+        take = lambda a: take_rows(a, idx, idx_valid)  # noqa: E731
         return Cloud(
             pos=take(self.pos),
             valid=idx_valid & take(self.valid),

@@ -110,13 +110,19 @@ def _group_conv(local_nn: MLP, attend_nn: Optional[MLP], step: StepSpec,
     msg = [x_j, (pos_j - pos_i)/r?] -> local_nn -> masked aggregation.
     ``fused_ctx=(module, spec, dims)`` enables the eval megakernel path.
     """
-    rel = neighbors.gather_neighbors(pos_src, nbr_idx) - pos_dst[:, :, None, :]
-    if step.normalize_radius and step.radius:
-        rel = rel / step.radius
     if x_src is not None:
-        xj = neighbors.gather_neighbors(x_src, nbr_idx)
+        # one packed row gather for (x_j, pos_j): bit-identical to the two
+        # separate gathers (positions ride as exact f32 bit-splits)
+        xj, pj = neighbors.gather_neighbors_with_pos(x_src, pos_src, nbr_idx)
+        rel = pj - pos_dst[:, :, None, :].astype(jnp.float32)
+        if step.normalize_radius and step.radius:
+            rel = rel / step.radius
         msg = jnp.concatenate([xj, rel.astype(xj.dtype)], axis=-1)
     else:
+        rel = (neighbors.gather_neighbors(pos_src, nbr_idx)
+               - pos_dst[:, :, None, :])
+        if step.normalize_radius and step.radius:
+            rel = rel / step.radius
         msg = rel
     if fused_ctx is not None and not train:
         module, spec, dims = fused_ctx
@@ -222,15 +228,23 @@ class CurveSAStep(nn.Module):
             # pre-cast to the feature dtype — the Dense would cast the
             # concat anyway, so this halves HBM traffic without changing
             # a single rounding
-            pw = curve1d.gather_window_features(cloud.pos, idx, self.window)
-            rel = pw - down.pos[:, :, None, :]
-            if step.normalize_radius and step.radius:
-                rel = rel / step.radius
             if cloud.x is not None:
-                xw = curve1d.gather_window_features(cloud.x, idx,
-                                                    self.window)
+                # one packed window slice for (x, pos) — bit-identical to
+                # the two separate slices at half the row-fetch count
+                xw, pw = curve1d.gather_window_with_pos(
+                    cloud.x, cloud.pos, idx, self.window,
+                    idx_valid=down.valid, unique_rows=True)
+                rel = pw - down.pos[:, :, None, :].astype(jnp.float32)
+                if step.normalize_radius and step.radius:
+                    rel = rel / step.radius
                 msg = jnp.concatenate([xw, rel.astype(xw.dtype)], axis=-1)
             else:
+                pw = curve1d.gather_window_features(
+                    cloud.pos, idx, self.window,
+                    idx_valid=down.valid, unique_rows=True)
+                rel = pw - down.pos[:, :, None, :]
+                if step.normalize_radius and step.radius:
+                    rel = rel / step.radius
                 msg = rel
             return local_nn(msg, mask=nbr_mask, train=False, upto=0)
 
@@ -402,15 +416,23 @@ class CurveSAStep(nn.Module):
             return down.with_features(xo)
 
         # candidates are contiguous along-curve windows: fetch features and
-        # positions as window slices (wide reads) instead of row gathers
-        pw = curve1d.gather_window_features(cloud.pos, idx, self.window)
-        rel = pw - down.pos[:, :, None, :]
-        if step.normalize_radius and step.radius:
-            rel = rel / step.radius
+        # positions as ONE packed window slice (wide reads, single
+        # row-fetch pass) instead of row gathers
         if cloud.x is not None:
-            xw = curve1d.gather_window_features(cloud.x, idx, self.window)
-            msg = jnp.concatenate([xw, rel], axis=-1)
+            xw, pw = curve1d.gather_window_with_pos(
+                cloud.x, cloud.pos, idx, self.window,
+                idx_valid=down.valid, unique_rows=True)
+            rel = pw - down.pos[:, :, None, :].astype(jnp.float32)
+            if step.normalize_radius and step.radius:
+                rel = rel / step.radius
+            msg = jnp.concatenate([xw, rel.astype(xw.dtype)], axis=-1)
         else:
+            pw = curve1d.gather_window_features(
+                cloud.pos, idx, self.window,
+                idx_valid=down.valid, unique_rows=True)
+            rel = pw - down.pos[:, :, None, :]
+            if step.normalize_radius and step.radius:
+                rel = rel / step.radius
             msg = rel
         msg = local_nn(msg, mask=nbr_mask, train=train,
                        bn_momentum=bn_momentum)

@@ -61,9 +61,20 @@ def same_curve_shift_mask(curve_id: jax.Array, valid: jax.Array,
 import functools
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
-def _window_slice3(x: jax.Array, idx: jax.Array, half_w: int, fill):
-    """(B, N, C), (B, M) -> (B, M, 2*half_w+1, C) contiguous windows."""
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _window_slice3(x: jax.Array, idx: jax.Array, idx_valid, half_w: int,
+                   fill, unique_rows: bool):
+    """(B, N, C), (B, M) -> (B, M, 2*half_w+1, C) contiguous windows.
+
+    ``unique_rows=True`` asserts the VALID entries of ``idx`` are unique
+    per sample (e.g. downsample center ids): the transpose then runs as a
+    tiny int inverse-map scatter + one dense row gather instead of the
+    (M, w*C) wide-row scatter-add (16 ms/step at flagship sa-geo scale on
+    v5e).  Cotangents at ``idx_valid == False`` slots are dropped on that
+    path — exact whenever downstream masks padded queries (it does:
+    masked BN/aggregations/losses).  ``idx_valid`` may be None when every
+    slot is valid; it is ignored for the scatter path.
+    """
     b, n, c = x.shape
     w = 2 * half_w + 1
     xp = jnp.pad(x, ((0, 0), (half_w, half_w), (0, 0)),
@@ -84,44 +95,60 @@ def _window_slice3(x: jax.Array, idx: jax.Array, half_w: int, fill):
     return jax.vmap(one)(xp, idx)  # idx is already the padded-row start
 
 
-def _window_slice3_fwd(x, idx, half_w, fill):
-    return _window_slice3(x, idx, half_w, fill), (idx, x.shape)
+def _window_slice3_fwd(x, idx, idx_valid, half_w, fill, unique_rows):
+    return (_window_slice3(x, idx, idx_valid, half_w, fill, unique_rows),
+            (idx, idx_valid, x.shape))
 
 
-def _window_slice3_bwd(half_w, fill, res, g):
+def _window_slice3_bwd(half_w, fill, unique_rows, res, g):
     """Custom transpose: XLA's VJP of a slice-gather is a SERIAL per-query
     scatter loop (measured ~140 ms/step at lidar scale).  Instead: one
-    wide-row scatter of the window grads to their query rows, then 2w+1
-    dense shifted adds.
+    wide-row scatter of the window grads to their query rows (or, for
+    unique query rows, an inverse row GATHER), then 2w+1 dense shifted
+    adds.
     """
-    idx, xshape = res
+    idx, idx_valid, xshape = res
     b, n, c = xshape
     w = 2 * half_w + 1
     m = idx.shape[1]
     gw = g.reshape(b, m, w * c)
-    full = jnp.zeros((b, n, w * c), g.dtype)
     bidx = jnp.arange(b)[:, None]
-    full = full.at[bidx, idx].add(gw)
+    if unique_rows:
+        safe = idx if idx_valid is None else jnp.where(idx_valid, idx, n)
+        arange_m = jnp.broadcast_to(jnp.arange(m, dtype=jnp.int32), (b, m))
+        inv = jnp.zeros((b, n), jnp.int32)
+        inv = jax.vmap(lambda iv, s, u: iv.at[s].set(u, mode="drop"))(
+            inv, safe, arange_m)
+        hit = jnp.zeros((b, n), bool)
+        hit = jax.vmap(lambda h, s: h.at[s].set(True, mode="drop"))(hit, safe)
+        full = jnp.take_along_axis(gw, inv[..., None], axis=1)
+        full = jnp.where(hit[..., None], full, 0)
+    else:
+        full = jnp.zeros((b, n, w * c), g.dtype)
+        full = full.at[bidx, idx].add(gw)
     full = full.reshape(b, n, w, c)
     gxp = jnp.zeros((b, n + 2 * half_w, c), g.dtype)
     for s in range(w):  # dense static-slice adds (no scatter)
         gxp = gxp.at[:, s:s + n].add(full[:, :, s])
-    return gxp[:, half_w:half_w + n], None
+    return gxp[:, half_w:half_w + n], None, None
 
 
 _window_slice3.defvjp(_window_slice3_fwd, _window_slice3_bwd)
 
 
 def window_slice(x: jax.Array, idx: jax.Array, half_w: int,
-                 fill=0.0) -> jax.Array:
+                 fill=0.0, idx_valid=None,
+                 unique_rows: bool = False) -> jax.Array:
     """Contiguous per-query windows x[idx-half_w : idx+half_w+1].
 
     x: (B, N, C) or (B, N); idx: (B, M).  Returns (B, M, 2*half_w+1[, C]).
+    ``unique_rows``/``idx_valid``: see :func:`_window_slice3` — enables the
+    inverse-gather transpose when valid idx entries are unique per sample.
     """
     squeeze = x.ndim == 2
     if squeeze:
         x = x[..., None]
-    out = _window_slice3(x, idx, half_w, fill)
+    out = _window_slice3(x, idx, idx_valid, half_w, fill, unique_rows)
     return out[..., 0] if squeeze else out
 
 
@@ -227,11 +254,41 @@ def radius_1d_group_subset(pos: jax.Array, idx: jax.Array,
 
 
 def gather_window_features(x: jax.Array, idx: jax.Array,
-                           half_w: int) -> jax.Array:
+                           half_w: int, idx_valid=None,
+                           unique_rows: bool = False) -> jax.Array:
     """Per-query interleaved feature windows (B, M, 2w+1, C) via contiguous
     slices — the companion gather for the windowed groupers above."""
     perm = _interleave_perm(half_w)
-    return window_slice(x, idx, half_w)[:, :, perm]
+    return window_slice(x, idx, half_w, idx_valid=idx_valid,
+                        unique_rows=unique_rows)[:, :, perm]
+
+
+def gather_window_with_pos(x: jax.Array, pos: jax.Array, idx: jax.Array,
+                           half_w: int, idx_valid=None,
+                           unique_rows: bool = False):
+    """One combined window slice of (features, exact f32 positions).
+
+    Window fetches charge per ROW like any gather, so a second 3-wide
+    position slice costs as much as the feature slice; positions instead
+    ride in the feature record (bit-split hi/lo bf16 when features are
+    bf16 — bits move losslessly, exact f32 reconstruction).  Bit-identical
+    to two separate :func:`gather_window_features` calls.
+
+    Returns (x_win (B, M, 2w+1, C), pos_win (B, M, 2w+1, 3) float32).
+    """
+    from .interpolate import _pack_f32_as_2bf16, _unpack_2bf16_as_f32
+
+    posf = pos.astype(jnp.float32)
+    if x.dtype == jnp.float32:
+        rec = jnp.concatenate([x, posf], axis=-1)
+        rw = gather_window_features(rec, idx, half_w, idx_valid=idx_valid,
+                                    unique_rows=unique_rows)
+        return rw[..., :-3], rw[..., -3:]
+    rec = jnp.concatenate([x.astype(jnp.bfloat16), _pack_f32_as_2bf16(posf)],
+                          axis=-1)
+    rw = gather_window_features(rec, idx, half_w, idx_valid=idx_valid,
+                                unique_rows=unique_rows)
+    return rw[..., :-6], _unpack_2bf16_as_f32(rw[..., -6:])
 
 
 def pad_for_window_chunks(x: jax.Array, half_w: int) -> jax.Array:

@@ -348,6 +348,34 @@ def gather_neighbors(x: jax.Array, idx: jax.Array) -> jax.Array:
     return jnp.where((idx >= 0)[..., None], out, 0.0)
 
 
+def gather_neighbors_with_pos(x: jax.Array, pos: jax.Array,
+                              idx: jax.Array):
+    """One combined row gather of (features, exact f32 positions).
+
+    HBM gathers charge per ROW (~7ns on v5e regardless of width), so
+    fetching the position with a second 3-wide gather costs as much as the
+    whole feature gather.  Instead positions ride along in the feature
+    record — bit-split into hi/lo bf16 pairs when features are bf16 (bits
+    move losslessly through gathers; casting positions to bf16 would
+    catastrophically cancel in pos_j - pos_i at lidar scales, ADVICE r2).
+
+    x: (B, N, C), pos: (B, N, 3), idx: (B, Q, K) with -1 padding.
+    Returns (x_nbr (B, Q, K, C), pos_nbr (B, Q, K, 3) float32); padded
+    slots are zero in both.
+    """
+    from .interpolate import _pack_f32_as_2bf16, _unpack_2bf16_as_f32
+
+    pos = pos.astype(jnp.float32)
+    if x.dtype == jnp.float32:
+        rec = jnp.concatenate([x, pos], axis=-1)
+        rec_nbr = gather_neighbors(rec, idx)
+        return rec_nbr[..., :-3], rec_nbr[..., -3:]
+    rec = jnp.concatenate([x.astype(jnp.bfloat16), _pack_f32_as_2bf16(pos)],
+                          axis=-1)
+    rec_nbr = gather_neighbors(rec, idx)
+    return rec_nbr[..., :-6], _unpack_2bf16_as_f32(rec_nbr[..., -6:])
+
+
 def knn_feature_space(x: jax.Array, valid: jax.Array, k: int,
                       block: int = 4096):
     """kNN in feature space (DGCNN dynamic graph, reference dgcnn.py:82)."""

@@ -130,6 +130,25 @@ def _pick_k_planes(k: int) -> int:
     return 4
 
 
+def _pick_tile_m(m: int, cap: int = 2048) -> int:
+    """Largest tile that avoids padding the (K, M, C) slab.
+
+    Padding M to a tile multiple forces XLA to rewrite the whole slab
+    (204 MB at flagship sa-geo scale, ~2.5 ms/step on v5e), so prefer a
+    tile that divides round_up(m, 128) exactly; fall back to the tile
+    with the least padding when no >=1024 divisor exists.
+    """
+    mp = _round_up(m, 128)
+    if mp <= cap:
+        return mp
+    for t in range(cap, 1024 - 1, -128):
+        if mp % t == 0:
+            return t
+    return min(cap, max(
+        range(1024, cap + 1, 128),
+        key=lambda t: -(_round_up(m, t) - m)))
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("aggr", "act", "attend_act", "tile_m", "k_planes",
@@ -157,7 +176,7 @@ def fused_group_reduce_single(
     if k_planes is None:
         k_planes = _pick_k_planes(k)
     if tile_m is None:
-        tile_m = min(2048, _round_up(m, 128))
+        tile_m = _pick_tile_m(m)
     kp = _round_up(k, k_planes)
     mp = _round_up(m, tile_m)
     h1_t = jnp.moveaxis(h1, 1, 0)                       # (K, M, C1)

@@ -190,3 +190,51 @@ def masked_segment_sum(data: jax.Array, segment_ids: jax.Array,
     data = jnp.where(_bcast(mask, data), data, 0)
     sid = jnp.where(mask, segment_ids, num_segments)  # park invalid in overflow
     return jax.ops.segment_sum(data, sid, num_segments=num_segments + 1)[:num_segments]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=())
+def take_rows(a: jax.Array, idx: jax.Array, idx_valid: jax.Array):
+    """Subset row selection a[:, idx] with an inverse-gather transpose.
+
+    The downsampling row-select of every level (reference keeps ``x[idxs]``
+    after FPS, src/models/modules/pointnet2.py:47-61).  XLA's VJP of
+    ``take_along_axis`` is a scatter-add — at flagship scale one fused
+    (C_total, N) f32 scatter costs ~16 ms/step on v5e.  Because downsample
+    indices are STRICTLY ASCENDING over the valid slots (every sampler
+    returns sorted unique row ids), the transpose is expressible as a tiny
+    int32 inverse-map scatter plus one dense row gather (~0.3 ms).
+
+    Gradient contract: cotangents at ``idx_valid == False`` slots are
+    dropped.  Every consumer masks padded slots (masked BN/aggregations/
+    losses), so those cotangents are identically zero and the VJP is exact;
+    a duplicate *valid* index would silently lose gradient, hence the
+    ascending-unique requirement.
+
+    a: (B, N, ...) ; idx: (B, Q) int32 ; idx_valid: (B, Q) bool.
+    """
+    return jnp.take_along_axis(
+        a, idx.reshape(idx.shape + (1,) * (a.ndim - 2)), axis=1)
+
+
+def _take_rows_fwd(a, idx, idx_valid):
+    return take_rows(a, idx, idx_valid), (idx, idx_valid, a.shape)
+
+
+def _take_rows_bwd(res, g):
+    idx, idx_valid, ashape = res
+    b, n = ashape[:2]
+    q = idx.shape[1]
+    # out-of-range writes are dropped: invalid slots scatter to row `n`
+    safe = jnp.where(idx_valid, idx, n)
+    inv = jnp.zeros((b, n), jnp.int32)
+    inv = jax.vmap(lambda iv, s, u: iv.at[s].set(u, mode="drop"))(
+        inv, safe, jnp.broadcast_to(jnp.arange(q, dtype=jnp.int32), (b, q)))
+    hit = jnp.zeros((b, n), bool)
+    hit = jax.vmap(lambda h, s: h.at[s].set(True, mode="drop"))(hit, safe)
+    ga = jnp.take_along_axis(
+        g, inv.reshape((b, n) + (1,) * (g.ndim - 2)), axis=1)
+    ga = jnp.where(hit.reshape((b, n) + (1,) * (g.ndim - 2)), ga, 0)
+    return ga, None, None
+
+
+take_rows.defvjp(_take_rows_fwd, _take_rows_bwd)

@@ -140,3 +140,23 @@ def test_symmetric_window_concat_matches_dense_conv(rng):
             y_oracle[0, idxs[i]] = acc
     np.testing.assert_allclose(
         np.asarray(y_got)[valid], y_oracle[valid], rtol=1e-4, atol=1e-4)
+
+
+def test_gather_window_with_pos_bit_identical(rng):
+    from curvecloudnet_tpu.ops import curve1d
+    b, n, c, m, w = 2, 64, 8, 24, 3
+    x = rng.standard_normal((b, n, c)).astype(np.float32)
+    pos = (rng.standard_normal((b, n, 3)) * 30.0
+           + np.array([55.0, -40.0, 3.0])).astype(np.float32)
+    idx = rng.integers(0, n, (b, m)).astype(np.int32)
+    posj = jnp.array(pos)
+    for dt in (jnp.float32, jnp.bfloat16):
+        xj = jnp.array(x, dt)
+        xw, pw = curve1d.gather_window_with_pos(xj, posj, jnp.array(idx), w)
+        assert xw.dtype == dt and pw.dtype == jnp.float32
+        np.testing.assert_array_equal(
+            np.asarray(xw),
+            np.asarray(curve1d.gather_window_features(xj, jnp.array(idx), w)))
+        np.testing.assert_array_equal(
+            np.asarray(pw),
+            np.asarray(curve1d.gather_window_features(posj, jnp.array(idx), w)))

@@ -72,3 +72,21 @@ def test_gather_and_self_loops(rng):
         for qi in range(32):
             if valid[bi, qi]:
                 np.testing.assert_allclose(g[bi, qi, 0], feat[bi, qi], rtol=1e-6)
+
+
+def test_gather_neighbors_with_pos_bit_identical(rng):
+    """Packed (x, pos) gather == two separate gathers, f32 and bf16."""
+    pos, feat, curve_id, valid = make_curve_cloud(rng, b=2, n=48)
+    # lidar-scale offsets so bf16 cancellation would show if pos were cast
+    pos = pos * 30.0 + np.array([55.0, -40.0, 3.0])
+    idx = np_knn(pos[:, :16], pos, valid[:, :16], valid, 4)
+    idxj = jnp.array(idx)
+    posj = jnp.array(pos, jnp.float32)
+    for dt in (jnp.float32, jnp.bfloat16):
+        x = jnp.array(feat, dt)
+        xn, pn = neighbors.gather_neighbors_with_pos(x, posj, idxj)
+        assert xn.dtype == dt and pn.dtype == jnp.float32
+        np.testing.assert_array_equal(
+            np.asarray(xn), np.asarray(neighbors.gather_neighbors(x, idxj)))
+        np.testing.assert_array_equal(
+            np.asarray(pn), np.asarray(neighbors.gather_neighbors(posj, idxj)))

@@ -1,3 +1,4 @@
+import jax
 import numpy as np
 import jax.numpy as jnp
 
@@ -78,3 +79,32 @@ def test_curve_start_index(rng):
         for c in np.unique(curve_id[bi][valid[bi]]):
             idxs = np.where(valid[bi] & (curve_id[bi] == c))[0]
             assert (got[bi, idxs] == idxs[0]).all()
+
+
+def test_take_rows_grad_matches_take_along_axis():
+    """Inverse-gather VJP == scatter VJP when invalid-slot cotangents are 0."""
+    rng = np.random.default_rng(7)
+    b, n, q, c = 2, 32, 12, 5
+    a = rng.standard_normal((b, n, c)).astype(np.float32)
+    idx = np.sort(rng.choice(n, (b, q), replace=False), axis=1).astype(np.int32)
+    idx_valid = np.arange(q)[None, :] < np.array([[q], [q - 3]])
+    w = rng.standard_normal((b, q, c)).astype(np.float32)
+
+    def loss_custom(aa):
+        out = segments.take_rows(aa, jnp.array(idx), jnp.array(idx_valid))
+        return jnp.sum(jnp.where(jnp.array(idx_valid)[..., None],
+                                 out * w, 0.0))
+
+    def loss_ref(aa):
+        out = jnp.take_along_axis(aa, jnp.array(idx)[..., None], axis=1)
+        return jnp.sum(jnp.where(jnp.array(idx_valid)[..., None],
+                                 out * w, 0.0))
+
+    ga = jax.grad(loss_custom)(jnp.array(a))
+    gr = jax.grad(loss_ref)(jnp.array(a))
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(gr), atol=1e-6)
+    np.testing.assert_array_equal(
+        np.asarray(segments.take_rows(jnp.array(a), jnp.array(idx),
+                                      jnp.array(idx_valid))),
+        np.asarray(jnp.take_along_axis(jnp.array(a), jnp.array(idx)[..., None],
+                                       axis=1)))

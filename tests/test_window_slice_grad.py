@@ -5,6 +5,7 @@ import jax
 import jax.numpy as jnp
 
 from curvecloudnet_tpu.ops.curve1d import window_slice
+from curvecloudnet_tpu.ops import curve1d
 
 
 def oracle(x, idx, half_w):
@@ -35,3 +36,38 @@ def test_window_slice_grad_matches_oracle(rng):
     g2 = jax.grad(f2)(jnp.asarray(x))
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-5,
                                atol=1e-6)
+
+
+def test_window_slice_unique_rows_grad_matches_scatter():
+    """Inverse-gather transpose == scatter transpose for unique valid idx,
+    including invalid padding slots that collide with valid indices."""
+    rng = np.random.default_rng(3)
+    b, n, c, m, hw = 2, 40, 4, 10, 2
+    x = rng.standard_normal((b, n, c)).astype(np.float32)
+    # strictly ascending unique valid ids; padding slots repeat id 0
+    # (collides with a real query) to exercise the drop path
+    idx = np.sort(rng.choice(n, (b, m), replace=False), axis=1).astype(np.int32)
+    idx_valid = np.arange(m)[None, :] < np.array([[m], [m - 3]])
+    idx = np.where(idx_valid, idx, 0).astype(np.int32)
+    w = rng.standard_normal((b, m, 2 * hw + 1, c)).astype(np.float32)
+    wm = np.where(idx_valid[..., None, None], w, 0.0)  # masked cotangents
+
+    def loss_unique(xx):
+        out = curve1d.window_slice(xx, jnp.array(idx), hw,
+                                   idx_valid=jnp.array(idx_valid),
+                                   unique_rows=True)
+        return jnp.sum(out * wm)
+
+    def loss_scatter(xx):
+        out = curve1d.window_slice(xx, jnp.array(idx), hw)
+        return jnp.sum(out * wm)
+
+    gu = jax.grad(loss_unique)(jnp.array(x))
+    gs = jax.grad(loss_scatter)(jnp.array(x))
+    np.testing.assert_allclose(np.asarray(gu), np.asarray(gs), atol=1e-6)
+    # forwards identical
+    np.testing.assert_array_equal(
+        np.asarray(curve1d.window_slice(jnp.array(x), jnp.array(idx), hw,
+                                        idx_valid=jnp.array(idx_valid),
+                                        unique_rows=True)),
+        np.asarray(curve1d.window_slice(jnp.array(x), jnp.array(idx), hw)))
