@@ -26,6 +26,19 @@ What makes this version fast (vs. a naive argmin-extraction brute force):
 Mosaic constraints shaping the code: no value-level dynamic_update_slice
 (slot writes via iota==j selects), no sort (min-extraction rounds), planar
 coordinates on the VPU (a 3-wide dot_general blows the VMEM stack).
+
+Negative results (measured on v5e, kept out of the default path):
+  * AABB per-block gates: neutral at every size/radius (boxes too loose on
+    clustered lidar); early-exit/while extraction; segmented extraction;
+    window+far-pass; morton ordering (see CLAUDE.md rounds 2-3).
+  * MXU hit check (:func:`knn_pallas_single_mxu`): replace the per-block
+    exact VPU distance pass with a (TQ,8)x(8,TN) matmul lift
+    d2a = |q|^2 + (q,1)·(-2p,|p|^2) and only run the exact pass on blocks
+    with min d2a < t + margin.  Bit-identical results (margin covers the
+    lift's rounding at lidar scales), but 35% SLOWER at flagship shapes
+    (28.7 -> 38.8 ms at 23040x36864 k=32): Mosaic pads the K=8 f32
+    contraction to native MXU tiling at HIGHEST precision (6 bf16 passes),
+    so the "free" MXU check costs more than the 8 VPU ops it saves.
 """
 
 from __future__ import annotations
@@ -140,6 +153,148 @@ def _knn_kernel(q_ref, p_ref, qv_ref, pv_ref, dist_ref, idx_ref, *,
 
         def with_extract(args):
             best_d, best_i = args
+            new_d, new_i = extract_block(d2, b * tile_n, best_d, best_i)
+            new_t = jnp.minimum(
+                jnp.max(new_d, axis=-1, keepdims=True), jnp.float32(r2init))
+            new_t = jnp.where(qv > 0, new_t, -_INF)
+            return new_d, new_i, new_t
+
+        best_d, best_i, t = jax.lax.cond(
+            hit, with_extract, lambda args: (args[0], args[1], t),
+            (best_d, best_i))
+        return best_d, best_i, t
+
+    init_d = jnp.full((tile_q, k), _INF, jnp.float32)
+    init_i = jnp.full((tile_q, k), -1, jnp.int32)
+    init_t = jnp.where(qv > 0, jnp.float32(r2init), -_INF)
+    best_d, best_i, _ = jax.lax.fori_loop(
+        0, num_blocks, body, (init_d, init_i, init_t))
+
+    good = (best_d < _GOOD_MAX) & (qv > 0)
+    dist_ref[:] = jnp.where(good, jnp.sqrt(jnp.maximum(best_d, 0.0)), _INF)
+    idx_ref[:] = jnp.where(good, best_i, -1)
+
+
+def _make_extractor(k: int, tile_q: int, tile_n: int):
+    """Packed min-extraction + 2k-lane merge (same scheme as _knn_kernel);
+    shared by the MXU-hit-check kernel variant below."""
+    low_mask = tile_n - 1
+    sent_blk = jnp.int32((0x7F800000 | low_mask))
+    col = jax.lax.broadcasted_iota(jnp.int32, (tile_q, tile_n), 1)
+    two_k = 2 * k
+    pw = 1
+    while pw < two_k:
+        pw *= 2
+    pmask = pw - 1
+    sent_mrg = jnp.int32(0x7F800000 | pmask)
+    pos_iota = jax.lax.broadcasted_iota(jnp.int32, (tile_q, two_k), 1)
+    slot = jax.lax.broadcasted_iota(jnp.int32, (tile_q, k), 1)
+
+    def extract_block(d2, base, best_d, best_i):
+        bits = jax.lax.bitcast_convert_type(d2, jnp.int32)
+        packed = jnp.bitwise_or(
+            jnp.bitwise_and(bits, jnp.int32(~low_mask)), col)
+
+        def round_body(j, st):
+            cand, m_prev = st
+            m = jnp.min(jnp.where(packed > m_prev, packed, sent_blk),
+                        axis=-1, keepdims=True)
+            cand = jnp.where(slot == j, m, cand)
+            return cand, m
+
+        cand = jnp.full((tile_q, k), sent_blk, jnp.int32)
+        cand, _ = jax.lax.fori_loop(
+            0, k, round_body,
+            (cand, jnp.full((tile_q, 1), jnp.int32(-2**31))))
+        cand_d = jax.lax.bitcast_convert_type(
+            jnp.bitwise_and(cand, jnp.int32(~low_mask)), jnp.float32)
+        cand_i = base + jnp.bitwise_and(cand, jnp.int32(low_mask))
+
+        all_d = jnp.concatenate([best_d, cand_d], axis=-1)
+        all_i = jnp.concatenate([best_i, cand_i], axis=-1)
+        mb = jnp.bitwise_or(
+            jnp.bitwise_and(
+                jax.lax.bitcast_convert_type(all_d, jnp.int32),
+                jnp.int32(~pmask)),
+            pos_iota)
+
+        def merge_body(j, st):
+            new_d, new_i, m_prev = st
+            m = jnp.min(jnp.where(mb > m_prev, mb, sent_mrg),
+                        axis=-1, keepdims=True)
+            pos = jnp.bitwise_and(m, jnp.int32(pmask))
+            dval = jax.lax.bitcast_convert_type(
+                jnp.bitwise_and(m, jnp.int32(~pmask)), jnp.float32)
+            ival = jnp.sum(jnp.where(pos_iota == pos, all_i, 0),
+                           axis=-1, keepdims=True)
+            sel = slot == j
+            new_d = jnp.where(sel, dval, new_d)
+            new_i = jnp.where(sel, ival, new_i)
+            return new_d, new_i, m
+
+        new_d = jnp.full((tile_q, k), _INF, jnp.float32)
+        new_i = jnp.full((tile_q, k), -1, jnp.int32)
+        new_d, new_i, _ = jax.lax.fori_loop(
+            0, k, merge_body,
+            (new_d, new_i, jnp.full((tile_q, 1), jnp.int32(-2**31))))
+        return new_d, new_i
+
+    return extract_block
+
+
+def _knn_kernel_mxu(q_ref, p_ref, qv_ref, pv_ref, qa_ref, pa_ref, q2_ref,
+                    mg_ref, dist_ref, idx_ref, *,
+                    k: int, tile_q: int, tile_n: int, n_total: int,
+                    q_total: int, r2init: float):
+    """v3: the per-block hit check runs on the MXU.
+
+    The v2 kernel's floor is its exact planar distance pass — ~8 VPU ops
+    over every (TQ, TN) tile even when the block is skipped.  Here the
+    check uses the matmul lift  d2 ≈ |q|^2 + q_aug · p_aug  with
+    q_aug = (q, 1, 0...) and p_aug = (-2p, |p|^2, 0...): one (TQ,8)x(8,TN)
+    MXU matmul + 2 VPU passes.  The lift loses precision at lidar
+    coordinate scales (terms ~|q||p| >> d2), so the check compares against
+    ``t + margin`` where margin bounds the lift's absolute error (computed
+    by the wrapper from the coordinate magnitude); blocks that hit still
+    run the EXACT planar pass + extraction, so results are bit-identical
+    to v2 whenever margin covers the true error (a too-small margin could
+    only drop true neighbors; the wrapper sizes it conservatively and
+    tests compare against the XLA oracle).
+    """
+    qx = q_ref[0, :][:, None]
+    qy = q_ref[1, :][:, None]
+    qz = q_ref[2, :][:, None]
+    qv = qv_ref[0, :][:, None]
+    num_blocks = n_total // tile_n
+    q2 = q2_ref[0, :][:, None]                  # (TQ, 1) |q|^2
+    margin = mg_ref[0, 0]
+    extract_block = _make_extractor(k, tile_q, tile_n)
+
+    qstart = pl.program_id(0) * tile_q
+    center = ((qstart + tile_q // 2) * num_blocks) // q_total
+
+    def body(s, carry):
+        best_d, best_i, t = carry
+        off = (s + 1) // 2 * (1 - 2 * (s % 2))
+        b = jax.lax.rem(center + off + num_blocks * (s + 1), num_blocks)
+        sl = pl.ds(b * tile_n, tile_n)
+        # MXU hit check: d2a = |q|^2 + q_aug . p_aug  (>= d2 - margin)
+        mm = jax.lax.dot_general(
+            qa_ref[...], pa_ref[:, sl], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+        d2a = mm + q2
+        hit = jnp.any(d2a < t + margin)
+
+        def with_extract(args):
+            best_d, best_i = args
+            # exact planar pass, only for blocks that pass the check
+            px = p_ref[0, sl][None, :]
+            py = p_ref[1, sl][None, :]
+            pz = p_ref[2, sl][None, :]
+            pv = pv_ref[0, sl][None, :]
+            d2 = (qx - px) ** 2 + (qy - py) ** 2 + (qz - pz) ** 2
+            d2 = jnp.where(pv > 0, d2, _INF)
             new_d, new_i = extract_block(d2, b * tile_n, best_d, best_i)
             new_t = jnp.minimum(
                 jnp.max(new_d, axis=-1, keepdims=True), jnp.float32(r2init))
@@ -363,6 +518,8 @@ def knn_pallas_single_aabb(query, points, q_valid, p_valid, k: int,
             jax.ShapeDtypeStruct((qp, k), jnp.float32),
             jax.ShapeDtypeStruct((qp, k), jnp.int32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(qT, pT, qv, lo, hi)
     dist, idx = dist[:q_n], idx[:q_n]
@@ -382,6 +539,90 @@ def _pow2_at_least(x, lo, hi):
     while p < min(x, hi):
         p *= 2
     return p
+
+
+@functools.partial(jax.jit, static_argnames=("k", "radius", "tile_q",
+                                             "tile_n", "interpret"))
+def knn_pallas_single_mxu(query, points, q_valid, p_valid, k: int,
+                          radius: float | None = None, tile_q: int = 256,
+                          tile_n: int | None = None,
+                          interpret: bool = False):
+    """Single-sample Pallas kNN with the MXU hit check (see _knn_kernel_mxu).
+    Same contract and (margin permitting) identical results to
+    :func:`knn_pallas_single`."""
+    q_n, n = query.shape[0], points.shape[0]
+    if tile_n is None:
+        tile_n = _pow2_at_least(n, 512, 2048)
+    qp = _round_up(q_n, tile_q)
+    npad = _round_up(n, tile_n)
+    qf = jnp.pad(query.astype(jnp.float32), ((0, qp - q_n), (0, 0)))
+    pf = jnp.pad(points.astype(jnp.float32), ((0, npad - n), (0, 0)))
+    qT = qf.T                                    # (3, QP)
+    pT = pf.T                                    # (3, NP)
+    qv = jnp.pad(q_valid.astype(jnp.float32), (0, qp - q_n))[None, :]
+    pv = jnp.pad(p_valid.astype(jnp.float32), (0, npad - n))[None, :]
+
+    q2 = jnp.sum(qf * qf, axis=-1)               # (QP,)
+    p2 = jnp.sum(pf * pf, axis=-1)               # (NP,)
+    qa = jnp.concatenate(
+        [qf, jnp.ones((qp, 1), jnp.float32),
+         jnp.zeros((qp, 4), jnp.float32)], axis=-1)          # (QP, 8)
+    p2m = jnp.where(pv[0] > 0, p2, _INF)         # invalid -> never hits
+    pa = jnp.concatenate(
+        [-2.0 * pf, p2m[:, None],
+         jnp.zeros((npad, 4), jnp.float32)], axis=-1).T      # (8, NP)
+    # |d2a - d2| is bounded by rounding on terms up to (|q|+|p|)^2; 1e-4
+    # relative is ~1000x the HIGHEST-precision error — extra hits are
+    # cheap, dropped true neighbors are not
+    cmax2 = jnp.maximum(jnp.max(jnp.where(qv[0] > 0, q2, 0.0)),
+                        jnp.max(jnp.where(pv[0] > 0, p2, 0.0)))
+    margin = (4e-4 * cmax2).reshape(1, 1)
+
+    r2init = _INF if radius is None else float(radius) * float(radius)
+    kernel = functools.partial(_knn_kernel_mxu, k=k, tile_q=tile_q,
+                               tile_n=tile_n, n_total=npad, q_total=qp,
+                               r2init=r2init)
+    dist, idx = pl.pallas_call(
+        kernel,
+        grid=(qp // tile_q,),
+        in_specs=[
+            pl.BlockSpec((3, tile_q), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, npad), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_q), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, npad), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_q, 8), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, npad), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_q), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tile_q, k), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_q, k), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((qp, k), jnp.float32),
+            jax.ShapeDtypeStruct((qp, k), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(qT, pT, qv, pv, qa, pa, q2[None, :], margin)
+    dist, idx = dist[:q_n], idx[:q_n]
+    if radius is not None:
+        keep = dist <= radius
+        idx = jnp.where(keep, idx, -1)
+        dist = jnp.where(keep, dist, _INF)
+    return idx, dist
 
 
 @functools.partial(jax.jit, static_argnames=("k", "radius", "tile_q",
@@ -429,6 +670,8 @@ def knn_pallas_single(query, points, q_valid, p_valid, k: int,
             jax.ShapeDtypeStruct((qp, k), jnp.float32),
             jax.ShapeDtypeStruct((qp, k), jnp.int32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(qT, pT, qv, pv)
     dist, idx = dist[:q_n], idx[:q_n]
@@ -454,7 +697,8 @@ def knn_pallas(query, points, q_valid, p_valid, k: int,
     # distance pass saves less than the gate costs.  Kept for study.
     variant = os.environ.get("CCN_KNN_VARIANT", "v2")
     single = {"v2": knn_pallas_single,
-              "aabb": knn_pallas_single_aabb}[variant]
+              "aabb": knn_pallas_single_aabb,
+              "mxu": knn_pallas_single_mxu}[variant]
     kw = {}
     if os.environ.get("CCN_KNN_TQ"):
         kw["tile_q"] = int(os.environ["CCN_KNN_TQ"])

@@ -8,7 +8,7 @@ from curvecloudnet_tpu.ops import neighbors
 from curvecloudnet_tpu.ops.pallas_knn import knn_pallas
 
 
-@pytest.fixture(params=["v2", "aabb"], autouse=True)
+@pytest.fixture(params=["v2", "aabb", "mxu"], autouse=True)
 def knn_variant(request, monkeypatch):
     """Run every case against all kernels (CCN_KNN_VARIANT dispatch)."""
     monkeypatch.setenv("CCN_KNN_VARIANT", request.param)
