@@ -6,20 +6,31 @@ FRNN's cell-list algorithm to TPU-friendly static shapes, designed around a
 measured v5e constraint: HBM gathers cost ~7ns per ROW regardless of row
 width, so candidates are fetched at *cell* granularity:
 
-  1. voxelize at cell = radius; pack integer cell coords (7 bits/axis,
-     clipped to ±64 cells — out-of-range points clamp to boundary cells and
-     are rejected by the distance mask);
-  2. hash the 21-bit cell id into 2^18 buckets and scatter each point's
+  1. voxelize at cell = radius (27-stencil) or cell = 2*radius
+     (8-stencil); pack integer cell coords (7 bits/axis, clipped to ±64
+     cells — out-of-range points clamp to boundary cells and are rejected
+     by the distance mask);
+  2. hash the 21-bit cell id into an adaptive 2^hash_bits bucket table
+     (sized ~n so the table write stays small; 2^18 was measured to
+     materialize an 805MB fill at KITTI caps) and scatter each point's
      record [x, y, z, orig_idx] into its bucket row at its rank-in-bucket
      (ranks from one sort by bucket id; ranks >= cap drop, FRNN-style cap);
-  3. per query, gather the 27 neighboring cells' *rows* — (Q·27) wide-row
-     gathers instead of (Q·27·cap) scalar-row gathers (~20x faster);
+  3. per query, gather the stencil cells' *rows* — (Q·ncells) wide-row
+     gathers instead of (Q·ncells·cap) scalar-row gathers (~20x faster);
   4. distances on the VPU, mask by radius, top-k.
+
+Stencils: the classic FRNN stencil is 27 cells of edge r.  With cell
+edge 2r the ball [q-r, q+r] spans at most TWO cells per axis (base =
+floor((q-r)/cell), base+1), so only EIGHT row gathers per query — 3.4x
+fewer of the ~7ns/row fetches — at ~4x the per-cell occupancy (cap rises
+accordingly).  The 8-stencil wins whenever occupancy-at-2r stays within an
+affordable cap; measured at the nuScenes flagship 23040-row r=0.04 table:
+max 156/cell over seeds, so cap=192 is lossless there (tests/
+test_grid_recall.py pins the operating points).
 
 Hash collisions are harmless for correctness: colliding far cells' points
 fail the radius test; colliding near cells' points are genuine in-radius
-neighbors.  They only share the per-bucket ``cap`` budget (<~12% occupancy
-at lidar scale).
+neighbors.  They only share the per-bucket ``cap`` budget.
 """
 
 from __future__ import annotations
@@ -37,12 +48,24 @@ _INF = 1e30
 _BITS = 7                         # cell-coordinate bits per axis
 _OFF = 1 << (_BITS - 1)           # center cells around the origin
 _MASK = (1 << _BITS) - 1
-_HASH_BITS = 18                   # dense bucket table size = 2^18
-_NBUCKETS = 1 << _HASH_BITS
 
 _NEIGHBOR_OFFSETS = np.array(
     [[dx, dy, dz] for dx in (-1, 0, 1) for dy in (-1, 0, 1)
      for dz in (-1, 0, 1)], np.int32)  # (27, 3)
+_NEIGHBOR_OFFSETS8 = np.array(
+    [[dx, dy, dz] for dx in (0, 1) for dy in (0, 1)
+     for dz in (0, 1)], np.int32)      # (8, 3)
+
+
+def default_hash_bits(n: int) -> int:
+    """Bucket-table size ~n: big enough that occupied-cell collisions are
+    rare (cells ~n/10 at 2r occupancy), small enough that the table fill
+    write is negligible (2^15 x cap 192 records = 100MB vs 805MB at the
+    old fixed 2^18)."""
+    bits = 1
+    while (1 << bits) < n:
+        bits += 1
+    return min(18, max(13, bits))
 
 
 def _cell_coords(pos: jax.Array, cell: float) -> jax.Array:
@@ -54,26 +77,50 @@ def _pack(c: jax.Array) -> jax.Array:
     return (c[..., 0] << (2 * _BITS)) | (c[..., 1] << _BITS) | c[..., 2]
 
 
-def _hash(cell_id: jax.Array) -> jax.Array:
+def _hash(cell_id: jax.Array, hash_bits: int) -> jax.Array:
     h = cell_id.astype(jnp.uint32) * jnp.uint32(2654435761)
-    return (h >> (32 - _HASH_BITS)).astype(jnp.int32)
+    return (h >> (32 - hash_bits)).astype(jnp.int32)
 
 
 def grid_knn_single(query, points, q_valid, p_valid, k: int, radius: float,
-                    cap: int = 16):
-    """Single-sample grid kNN. query (Q,3), points (N,3) -> (Q,k) idx/dist."""
-    n = points.shape[0]
-    cell = radius
-    pc = _pack(_cell_coords(points, cell))
-    bucket = _hash(pc)
-    bucket = jnp.where(p_valid, bucket, _NBUCKETS)  # park invalid
+                    cap: int = 16, stencil: int = 27,
+                    hash_bits: int | None = None, overflow_planes: int = 0):
+    """Single-sample grid kNN. query (Q,3), points (N,3) -> (Q,k) idx/dist.
 
-    # rank within bucket via one sort
-    order = jnp.argsort(bucket)
+    ``overflow_planes``: points a dense cell drops at ``cap`` spill into
+    this many SHARED extra table rows (global overflow rank ordering) that
+    every query scans alongside its stencil cells.  Capacity
+    overflow_planes*cap bounds total overflow losslessly — measured max
+    239 dropped at cap=192 across realistic-seed flagship rows, so 2
+    planes (384) make the 8-stencil table exact there at +25% extraction
+    width instead of the 2x a lossless per-cell cap would cost.
+    """
+    n = points.shape[0]
+    if hash_bits is None:
+        hash_bits = default_hash_bits(n)
+    nbuckets = 1 << hash_bits
+    cell = radius if stencil == 27 else 2.0 * radius
+    pc = _pack(_cell_coords(points, cell))
+    bucket = _hash(pc, hash_bits)
+    bucket = jnp.where(p_valid, bucket, nbuckets)  # park invalid
+
+    # rank within bucket via one sort.  The secondary key is a hashed
+    # index, NOT the raw index: when a dense cell overflows ``cap`` the
+    # kept subset is then a spatially unbiased sample instead of a
+    # scan-order prefix (scan order sweeps angularly, so a prefix keeps
+    # one SIDE of the cell — the worst possible truncation geometry for
+    # the max/attend aggregations downstream).  Reference FRNN has no cap,
+    # but reference ball queries themselves truncate at K=128 in index
+    # order (point_ops.py:81); this is strictly better behaved.
+    pos_iota = jnp.arange(n, dtype=jnp.int32)
+    shuffled = jnp.bitwise_and(
+        pos_iota * jnp.int32(np.int32(0x9E3779B1 - 2**32)),
+        jnp.int32(0x7FFFFFFF))
+    _, _, order = jax.lax.sort(
+        (bucket, shuffled, pos_iota), num_keys=2)
     sorted_b = bucket[order]
     is_start = jnp.concatenate(
         [jnp.ones((1,), bool), sorted_b[1:] != sorted_b[:-1]])
-    pos_iota = jnp.arange(n, dtype=jnp.int32)
     start_pos = jax.lax.associative_scan(
         jnp.maximum, jnp.where(is_start, pos_iota, 0))
     rank_sorted = pos_iota - start_pos
@@ -90,19 +137,50 @@ def grid_knn_single(query, points, q_valid, p_valid, k: int, radius: float,
              jnp.arange(n, dtype=jnp.int32), jnp.float32)[:, None]], axis=-1)
     neg1 = jax.lax.bitcast_convert_type(jnp.int32(-1), jnp.float32)
     fill = jnp.repeat(jnp.array([_INF, _INF, _INF, neg1], jnp.float32), cap)
-    table = jnp.broadcast_to(fill[None, :], (_NBUCKETS + 1, cap * 4))
+    # rows: [0, nbuckets) cells, nbuckets = parked invalid/overflowed,
+    # (nbuckets, nbuckets+overflow_planes] shared overflow rows
+    table = jnp.broadcast_to(
+        fill[None, :], (nbuckets + 1 + overflow_planes, cap * 4))
     keep = (rank < cap) & p_valid
-    safe_bucket = jnp.where(keep, bucket, _NBUCKETS)
+    safe_bucket = jnp.where(keep, bucket, nbuckets)
     safe_rank = jnp.where(keep, rank, 0)
+    dropped = p_valid & ~keep
+    if overflow_planes > 0:
+        grank = jnp.cumsum(dropped.astype(jnp.int32)) - 1
+        okeep = dropped & (grank < overflow_planes * cap)
+        safe_bucket = jnp.where(okeep, nbuckets + 1 + grank // cap,
+                                safe_bucket)
+        safe_rank = jnp.where(okeep, grank % cap, safe_rank)
+        dropped = dropped & ~okeep
+    from . import telemetry
+
+    if telemetry.active():
+        # points dropped by the per-bucket cap (and past the overflow
+        # planes) = potential recall loss; surfaced like the budget
+        # overflow counters (round-2 verdict)
+        telemetry.record(f"grid_cap_drop.n{n}.r{radius:g}.s{stencil}",
+                         jnp.sum(dropped))
     cols = safe_rank[:, None] + cap * jnp.arange(4, dtype=jnp.int32)[None, :]
     table = table.at[safe_bucket[:, None], cols].set(rec)
 
-    qc = _cell_coords(query, cell)  # (Q, 3)
-    nbr_coords = jnp.clip(qc[:, None, :] + _NEIGHBOR_OFFSETS[None, :, :],
-                          0, _MASK)
-    nbr_buckets = _hash(_pack(nbr_coords))  # (Q, 27)
-
-    q_, c_ = query.shape[0], 27 * cap
+    if stencil == 27:
+        qc = _cell_coords(query, cell)  # (Q, 3)
+        offs = _NEIGHBOR_OFFSETS
+    else:
+        # 8-stencil: the ball [q-r, q+r] (width 2r <= cell) spans at most
+        # two cells per axis, anchored at floor((q - r) / cell)
+        qc = _cell_coords(query - radius, cell)
+        offs = _NEIGHBOR_OFFSETS8
+    nbr_coords = jnp.clip(qc[:, None, :] + offs[None, :, :], 0, _MASK)
+    nbr_buckets = _hash(_pack(nbr_coords), hash_bits)  # (Q, stencil)
+    q_ = query.shape[0]
+    if overflow_planes > 0:
+        ovf_rows = jnp.broadcast_to(
+            nbuckets + 1 + jnp.arange(overflow_planes, dtype=jnp.int32),
+            (q_, overflow_planes))
+        nbr_buckets = jnp.concatenate([nbr_buckets, ovf_rows], axis=1)
+    ncells = stencil + overflow_planes
+    c_ = ncells * cap
 
     # Fused tail: per-cell row gathers feed one Pallas kernel that runs
     # distances + radius mask + packed top-k extraction — the (Q, 27, cap)
@@ -119,11 +197,11 @@ def grid_knn_single(query, points, q_valid, p_valid, k: int, radius: float,
             table, nbr_buckets, query, q_valid, k_eff, cap, radius)
         return _finalize(top_d2, top_idx, k, k_eff)
 
-    cand = table[nbr_buckets]  # (Q, 27, cap*4) contiguous row gathers
+    cand = table[nbr_buckets]  # (Q, ncells, cap*4) contiguous row gathers
     # distances computed in the table's channel-major layout — transposing
-    # to (Q, 27*cap, 4) first materializes multi-GB relayout copies at the
-    # caps real densities need
-    cand = cand.reshape(q_, 27, 4, cap)
+    # to (Q, ncells*cap, 4) first materializes multi-GB relayout copies at
+    # the caps real densities need
+    cand = cand.reshape(q_, ncells, 4, cap)
     d2 = ((cand[:, :, 0] - query[:, None, 0:1]) ** 2
           + (cand[:, :, 1] - query[:, None, 1:2]) ** 2
           + (cand[:, :, 2] - query[:, None, 2:3]) ** 2)     # (Q, 27, cap)
@@ -183,9 +261,13 @@ def _finalize(top_d2, top_idx, k: int, k_eff: int):
     return idx, dist
 
 
-@functools.partial(jax.jit, static_argnames=("k", "radius", "cap"))
+@functools.partial(jax.jit, static_argnames=("k", "radius", "cap", "stencil",
+                                             "hash_bits", "overflow_planes"))
 def grid_knn(query, points, q_valid, p_valid, k: int, radius: float,
-             cap: int = 16):
+             cap: int = 16, stencil: int = 27, hash_bits: int | None = None,
+             overflow_planes: int = 0):
     """Batched grid-hash fixed-radius kNN (ops.neighbors.knn signature)."""
-    fn = functools.partial(grid_knn_single, k=k, radius=radius, cap=cap)
+    fn = functools.partial(grid_knn_single, k=k, radius=radius, cap=cap,
+                           stencil=stencil, hash_bits=hash_bits,
+                           overflow_planes=overflow_planes)
     return jax.vmap(fn)(query, points, q_valid, p_valid)

@@ -50,11 +50,42 @@ def grid_cap(k: int) -> int:
     return max(192, 4 * k)
 
 
+# 8-stencil grid routing for mid-size rows with small radii: the Pallas
+# brute kernel's extraction floor makes the flagship 23040-row r=0.04 table
+# cost ~13ms/step, while 2r-cell occupancy there maxes at ~156 (3 seeds of
+# realistic synthetic sweeps, tools-measured) so an 8-stencil grid at
+# cap=192 is LOSSLESS and ~2x cheaper (8 wide-row gathers/query vs a
+# (Q, N) distance+extraction sweep).  Radii above GRID8_MAX_R make 2r-cell
+# occupancy outgrow any affordable cap (the round-2 hazard: r=0.3 cells
+# hold 1000+ points), so those stay on the exact brute path.
+GRID8_MIN_N = int(os.environ.get("CCN_GRID8_MIN_N", 12288))
+GRID8_MAX_R = float(os.environ.get("CCN_GRID8_MAX_R", 0.05))
+GRID8_CAP = int(os.environ.get("CCN_GRID8_CAP", 192))
+
+
+def _grid8_ok(n: int, radius) -> bool:
+    # capped at BRUTE_MAX_N: the cap-192 occupancy measurement covers the
+    # rows the brute path serves today; larger rows (KITTI curve-fps
+    # 65536: ~200/cell at cell=r -> ~800 at 2r) need a bigger measured cap
+    # before the 8-stencil is safe there.
+    if os.environ.get("CCN_GRID8", "1") == "0":
+        return False
+    return (radius is not None and GRID8_MIN_N <= n <= BRUTE_MAX_N
+            and float(radius) <= GRID8_MAX_R
+            and jax.default_backend() not in ("cpu",))
+
+
 def _pick_backend(dim: int, radius, n: int) -> str:
     if KNN_BACKEND != "auto":
         return KNN_BACKEND
     on_accel = jax.default_backend() not in ("cpu",)
     if on_accel and dim == 3:
+        # Small-radius searches on mid-size-and-up rows take the 8-stencil
+        # grid: 2r-cell occupancy is bounded there (cap 192 lossless at
+        # the flagship operating points) and it beats the brute kernel's
+        # extraction floor ~2x.
+        if _grid8_ok(n, radius):
+            return "grid8"
         # The Pallas brute kernel is EXACT for fixed-radius kNN (the k
         # nearest within r are a subset of the k nearest overall) and cheap
         # up to mid-level sizes; the grid's per-cell cap truncates dense
@@ -132,6 +163,12 @@ def knn(query: jax.Array, points: jax.Array, q_valid: jax.Array,
     n = points.shape[1]
     k = min(k, n)
     backend = _pick_backend(query.shape[-1], radius, n)
+    if backend == "grid8" and radius is not None:
+        from . import grid_knn as grid_mod
+
+        return grid_mod.grid_knn(query, points, q_valid, p_valid, k,
+                                 radius=float(radius), cap=GRID8_CAP,
+                                 stencil=8, overflow_planes=2)
     if backend == "grid" and radius is not None:
         from . import grid_knn as grid_mod
 

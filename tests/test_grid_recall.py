@@ -83,14 +83,60 @@ def test_grid_recall_at_operating_points(n_row, stage, radius, k):
 
 
 def test_dispatch_routes_small_rows_to_exact(monkeypatch):
-    """Rows at or below BRUTE_MAX_N must use the exact kernel, never the
-    grid (this was round 1's recall regression surface)."""
+    """Mid-size rows route to measured-lossless backends only: small radii
+    to the 8-stencil grid (cap 192 >= measured max 2r-cell occupancy),
+    everything else to the exact kernel (round 1's recall regression
+    surface)."""
     monkeypatch.setattr(neighbors.jax, "default_backend", lambda: "tpu")
-    assert neighbors._pick_backend(3, 0.04, neighbors.BRUTE_MAX_N) == "pallas"
+    assert neighbors._pick_backend(
+        3, 0.04, neighbors.BRUTE_MAX_N) == "grid8"
     assert neighbors._pick_backend(3, 0.04,
                                    neighbors.BRUTE_MAX_N + 1) == "grid"
     assert neighbors.BRUTE_MAX_N >= 18432  # nuScenes real-pad first row
+    # unbounded searches (fp interpolation) have no radius to grid on
+    assert neighbors._pick_backend(3, None, 23040) == "pallas"
+    # radii above GRID8_MAX_R overflow the 2r-cell cap: exact kernel
+    assert neighbors._pick_backend(3, 0.1, 23040) == "pallas"
+    # tiny rows: grid build overhead isn't worth it
+    assert neighbors._pick_backend(3, 0.04, 4096) == "pallas"
     # large radii on mid-size rows overflow any per-cell cap (decoder
     # sgcnn r=0.3 on the KITTI real-pad voxel row): must stay exact
     assert neighbors._pick_backend(3, 0.3, 32768) == "pallas"
     assert neighbors._pick_backend(3, 0.04, 65536) == "grid"
+    # env kill-switch
+    monkeypatch.setenv("CCN_GRID8", "0")
+    assert neighbors._pick_backend(
+        3, 0.04, neighbors.BRUTE_MAX_N) == "pallas"
+
+
+def test_grid8_recall_at_nuscenes_table_row():
+    """The flagship 23040-row r=0.04 shared table now rides the 8-stencil
+    grid (cap 192 + 2 shared overflow planes).  Seed 3 is the measured
+    worst case — one 2r-cell holds 364 points, 239 spill past the cap —
+    and the overflow planes (capacity 384) must absorb every spill, so
+    recall is lossless, not merely >0.95."""
+    rng = np.random.default_rng(3)
+    raw, _, curve_id, _ = synthetic_lidar_sweep(rng, 36864, n_beams=32)
+    pos = jnp.asarray(raw)[None]
+    cid = jnp.asarray(curve_id)[None]
+    valid = jnp.ones((1, pos.shape[1]), bool)
+    idx, iv = sampling.curve_fps(pos, cid, valid, 0.007, 23040)
+    pos = jnp.take_along_axis(pos, idx[..., None], axis=1)
+    n_oracle = 768
+    qsel = np.sort(rng.choice(int(np.asarray(iv).sum()), n_oracle,
+                              replace=False))
+    q = pos[:, qsel]
+    qv = jnp.ones((1, n_oracle), bool)
+    for k in (20, 32):
+        gi, _ = grid_knn(q, pos, qv, iv, k, 0.04,
+                         cap=neighbors.GRID8_CAP, stencil=8,
+                         overflow_planes=2)
+        bi, _ = neighbors.knn(q, pos, qv, iv, k, radius=0.04)
+        g, b = np.asarray(gi)[0], np.asarray(bi)[0]
+        match = total = 0
+        for i in range(n_oracle):
+            exact = set(b[i][b[i] >= 0].tolist())
+            total += len(exact)
+            match += len(exact & set(g[i][g[i] >= 0].tolist()))
+        recall = match / max(total, 1)
+        assert recall > 0.9995, f"grid8 recall {recall:.5f} at k={k}"
