@@ -41,7 +41,7 @@ from .spec import ModelSpec
 
 
 def _row_radius_bounds(spec: ModelSpec):
-    """Max consumer radius per searched row, or None if unbounded.
+    """Per-row table bounds: (max consumer radius, shareable grid bound).
 
     Simulates the interpreter's row flow (downsampling creates a row,
     fp/fp-geo returns to the popped skip row) and collects every 3D
@@ -50,14 +50,26 @@ def _row_radius_bounds(spec: ModelSpec):
     be built radius-bounded, which lets the Pallas kernel seed its pruning
     threshold at bound^2 instead of discovering it block by block.
 
-    Returns a per-step list: the bound of the row step i searches.
+    The second list carries a per-row GRID bound for rows above the brute
+    limit: the max radius over grid-eligible consumers (r <= 0.15), so one
+    grid table at cell = grid_bound serves every such consumer by prefix
+    filtering instead of one grid search per distinct radius.  Sharing is
+    only declared for VOXEL-produced rows where the voxel spacing PROVES
+    per-cell occupancy within the cap — a cell of edge ``c`` over a
+    voxel(v)-downsampled set holds at most (floor(c/v)+1)^3 points — so
+    the widened cell cannot truncate (curve-fps rows have unbounded local
+    density: the KITTI 73728 row measures 1158 points in one 0.08-cell).
+
+    Returns per-step lists (bounds, grid_bounds) for the row step i
+    searches.
     """
-    from ..ops.neighbors import TABLE_K
+    from ..ops.neighbors import TABLE_K, grid_cap
 
     row, next_row = 0, 1
     down_stack = []
     searches = []   # (row_id, radius or None-for-unbounded)
     step_row = []
+    row_voxel = {0: None}   # row id -> producing voxel size (None: unproven)
     for step in spec.steps:
         step_row.append(row)
         if step.name == "sgcnn":
@@ -78,16 +90,38 @@ def _row_radius_bounds(spec: ModelSpec):
         if step.name in ("sa", "sa-geo", "sa-global"):
             down_stack.append(row)
             row, next_row = next_row, next_row + 1
+            row_voxel[row] = (step.voxel_size
+                              if step.name == "sa"
+                              and step.downsample_type == "voxel" else None)
         elif step.name in ("fp", "fp-geo"):
             row = down_stack.pop()
     bounds = {}
+    radii = {}
     for rid, r in searches:
+        radii.setdefault(rid, []).append(r)
         if rid in bounds:
             bounds[rid] = (None if (bounds[rid] is None or r is None)
                            else max(bounds[rid], r))
         else:
             bounds[rid] = r
-    return [bounds.get(r) for r in step_row]
+    grid_bounds = {}
+    grid_caps = {}
+    for rid, rs in radii.items():
+        v = row_voxel.get(rid)
+        eligible = [r for r in rs if r is not None and r <= 0.15]
+        if v and eligible:
+            gb = max(eligible)
+            proven = (int(gb / v) + 1) ** 3
+            if proven <= grid_cap(TABLE_K):
+                grid_bounds[rid] = gb
+                # the voxel proof also bounds the cap itself: no cell can
+                # hold more than ``proven`` points, so the table rows (and
+                # with them the plane gathers + extraction width) shrink
+                # below the generic grid_cap default
+                grid_caps[rid] = max(TABLE_K, -(-proven // 32) * 32)
+    return ([bounds.get(r) for r in step_row],
+            [grid_bounds.get(r) for r in step_row],
+            [grid_caps.get(r) for r in step_row])
 
 
 class CurveCloudNet(nn.Module):
@@ -169,8 +203,10 @@ class CurveCloudNet(nn.Module):
             if step.name == "sa":
                 budget = step.out_budget(n_now)
                 cloud = SAStep(spec, step, dims, budget,
-                               table_bound=row_bounds[i], name=name)(
-                    cloud, **kw)
+                               table_bound=row_bounds[0][i],
+                               table_grid_bound=row_bounds[1][i],
+                               table_grid_cap=row_bounds[2][i],
+                               name=name)(cloud, **kw)
                 n_now = budget
             elif step.name == "sa-geo":
                 budget = step.out_budget(n_now)
@@ -198,8 +234,10 @@ class CurveCloudNet(nn.Module):
                     cloud, skips, **kw)
             elif step.name in ("dgcnn", "dgcnn-rad", "sgcnn"):
                 cloud = EdgeConvStep(spec, step, dims,
-                                     table_bound=row_bounds[i], name=name)(
-                    cloud, **kw)
+                                     table_bound=row_bounds[0][i],
+                                     table_grid_bound=row_bounds[1][i],
+                                     table_grid_cap=row_bounds[2][i],
+                                     name=name)(cloud, **kw)
             elif step.name in ("conv1d-fast-v1", "conv1d-fast-v2"):
                 cloud = SymmetricCurveConvStep(
                     spec, step, dims, v1=step.name.endswith("v1"), name=name)(

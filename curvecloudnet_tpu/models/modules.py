@@ -169,6 +169,8 @@ class SAStep(nn.Module):
     dims: Tuple[int, ...]
     budget: int
     table_bound: Optional[float] = None
+    table_grid_bound: Optional[float] = None
+    table_grid_cap: Optional[int] = None
 
     @nn.compact
     def __call__(self, cloud: Cloud, *, train=False, bn_momentum=0.1,
@@ -181,7 +183,9 @@ class SAStep(nn.Module):
             nbr_idx, _ = neighbors.subset_knn(cloud.pos, cloud.valid, idx,
                                               down.valid, step.knn,
                                               radius=radius,
-                                              table_bound=self.table_bound)
+                                              table_bound=self.table_bound,
+                                              grid_bound=self.table_grid_bound,
+                                              grid_cap=self.table_grid_cap)
         elif step.knn is not None:
             nbr_idx, _ = neighbors.subset_knn(cloud.pos, cloud.valid, idx,
                                               down.valid, step.knn,
@@ -539,6 +543,8 @@ class EdgeConvStep(nn.Module):
     step: StepSpec
     dims: Tuple[int, ...]
     table_bound: Optional[float] = None
+    table_grid_bound: Optional[float] = None
+    table_grid_cap: Optional[int] = None
 
     def _try_fused(self, x, xj, nbr_mask, train):
         """Eval-only fused message-MLP+max kernel (ops/pallas_edge.py).
@@ -611,7 +617,9 @@ class EdgeConvStep(nn.Module):
                 r = step.radius if step.radius is not None else 1.0
                 nbr_idx, _ = neighbors.same_set_knn(
                     cloud.pos, cloud.valid, step.knn, radius=r,
-                    table_bound=self.table_bound)
+                    table_bound=self.table_bound,
+                    grid_bound=self.table_grid_bound,
+                    grid_cap=self.table_grid_cap)
                 nbr_idx = neighbors.add_self_loops(nbr_idx, cloud.valid)
         nbr_mask = nbr_idx >= 0
         local_nn = MLP(self.dims, use_bias=self.spec.use_bias,

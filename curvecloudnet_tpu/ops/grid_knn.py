@@ -182,19 +182,44 @@ def grid_knn_single(query, points, q_valid, p_valid, k: int, radius: float,
     ncells = stencil + overflow_planes
     c_ = ncells * cap
 
-    # Fused tail: per-cell row gathers feed one Pallas kernel that runs
-    # distances + radius mask + packed top-k extraction — the (Q, 27, cap)
-    # distance/index planes (multi-GB at KITTI scale, and layout-hostile:
-    # XLA picks T(1,128) tilings for them) never reach HBM.
+    # TPU tail options (A/B-measured on v5e at the KITTI 73728 r=0.04
+    # search):
+    #   * "records" (default): pallas_topk.grid_topk_records — per-cell
+    #     record-plane gathers re-read in-kernel, distances on the VPU.
+    #   * "d2": per-cell 2D gather->distance fusions emit (Q, ncells*cap)
+    #     f32 d2 + i32 idx planes (8B/candidate vs 16) into the
+    #     pure-extraction topk kernel.  Measured NEUTRAL vs "records"
+    #     (85.4 vs 85.6 ms at 73728): the plane gathers are row-RATE
+    #     bound (~7-14ns per gathered row), not bandwidth bound, so
+    #     halving bytes doesn't move them.  Kept because it halves peak
+    #     HBM scratch.
     import os
 
-    if (jax.default_backend() not in ("cpu",)
-            and os.environ.get("CCN_GRID_FUSED", "1") != "0"):
+    accel = jax.default_backend() not in ("cpu",)
+    mode = os.environ.get("CCN_GRID_FUSED", "records")
+    if accel and mode not in ("0",):
         from . import pallas_topk
 
         k_eff = min(k, c_)
-        top_d2, top_idx = pallas_topk.grid_topk_records(
-            table, nbr_buckets, query, q_valid, k_eff, cap, radius)
+        if mode == "records":
+            top_d2, top_idx = pallas_topk.grid_topk_records(
+                table, nbr_buckets, query, q_valid, k_eff, cap, radius)
+            return _finalize(top_d2, top_idx, k, k_eff)
+        qx, qy, qz = query[:, 0:1], query[:, 1:2], query[:, 2:3]
+        r2 = radius * radius
+        d2s, idxs = [], []
+        for c in range(ncells):
+            rec = table[nbr_buckets[:, c]]          # (Q, cap*4) row gather
+            pid = jax.lax.bitcast_convert_type(rec[:, 3 * cap:], jnp.int32)
+            d2c = ((rec[:, 0 * cap:1 * cap] - qx) ** 2
+                   + (rec[:, 1 * cap:2 * cap] - qy) ** 2
+                   + (rec[:, 2 * cap:3 * cap] - qz) ** 2)
+            good = (pid >= 0) & q_valid[:, None] & (d2c <= r2)
+            d2s.append(jnp.where(good, d2c, _INF))
+            idxs.append(pid)
+        d2 = jnp.concatenate(d2s, axis=1)
+        idx = jnp.concatenate(idxs, axis=1)
+        top_d2, top_idx = pallas_topk.topk_smallest(d2, idx, k_eff)
         return _finalize(top_d2, top_idx, k, k_eff)
 
     cand = table[nbr_buckets]  # (Q, ncells, cap*4) contiguous row gathers

@@ -142,7 +142,7 @@ def _extract_k_smallest(d2, idx, k):
 
 def knn(query: jax.Array, points: jax.Array, q_valid: jax.Array,
         p_valid: jax.Array, k: int, radius: float | None = None,
-        block: int = 4096):
+        block: int = 4096, cap_override: int | None = None):
     """Exact masked kNN: for each valid query, the k nearest valid points.
 
     Args:
@@ -172,8 +172,16 @@ def knn(query: jax.Array, points: jax.Array, q_valid: jax.Array,
     if backend == "grid" and radius is not None:
         from . import grid_knn as grid_mod
 
+        # 2 shared overflow planes absorb dense-cell cap spills (measured
+        # ~0.03% of points at the KITTI operating points) for +2/27 extra
+        # extraction width — recall becomes lossless up to 2*cap global
+        # overflow instead of silently truncating.  cap_override carries a
+        # spec-PROVEN occupancy bound (voxel-produced rows) that shrinks
+        # the table rows below the generic measured cap.
         return grid_mod.grid_knn(query, points, q_valid, p_valid, k,
-                                 radius=float(radius), cap=grid_cap(k))
+                                 radius=float(radius),
+                                 cap=cap_override or grid_cap(k),
+                                 overflow_planes=2)
     if backend == "pallas":
         from . import pallas_knn
 
@@ -312,19 +320,21 @@ def _row_table(pos: jax.Array, valid: jax.Array,
     return table
 
 
-def _grid_row_table(pos: jax.Array, valid: jax.Array, radius: float):
+def _grid_row_table(pos: jax.Array, valid: jax.Array, radius: float,
+                    cap: int | None = None):
     """Shared table for rows ABOVE the brute limit: one grid search per
-    (row, radius) — same-radius consumers (e.g. a row's sgcnn k=20 and sa
-    k=32 both at r=0.04) share it; the k'-nearest prefix property holds
-    within one search."""
+    (row, radius) — consumers whose radius the table covers share it by
+    prefix filtering.  ``cap`` tightens the per-cell budget where the
+    spec PROVES occupancy (voxel-produced rows): smaller table rows mean
+    proportionally cheaper plane gathers and extraction width."""
     if _TABLE_CACHE is None:
         return None
-    key = (id(pos), id(valid), float(radius))
+    key = (id(pos), id(valid), float(radius), cap)
     hit = _TABLE_CACHE.get(key)
     if hit is not None and hit[0] is pos and hit[1] is valid:
         return hit[2]
     table = knn(pos, pos, valid, valid, min(TABLE_K, pos.shape[1]),
-                radius=float(radius))
+                radius=float(radius), cap_override=cap)
     _TABLE_CACHE[key] = (pos, valid, table)
     return table
 
@@ -339,30 +349,51 @@ def _filter_table(idx, dist, k: int, radius):
     return idx[..., :k], dist[..., :k]
 
 
+def _grid_table_radius(radius, grid_bound):
+    """The radius one shared grid table is built at: the spec-computed
+    ``grid_bound`` (max grid-eligible consumer radius on the row, declared
+    only where voxel spacing proves the wider cell can't overflow the cap)
+    when it covers this search, else the search's own radius."""
+    if grid_bound is not None and radius is not None \
+            and float(grid_bound) >= float(radius):
+        return float(grid_bound)
+    return radius
+
+
 def same_set_knn(pos, valid, k: int, radius: float | None = None,
-                 table_bound: float | None = None):
+                 table_bound: float | None = None,
+                 grid_bound: float | None = None,
+                 grid_cap: int | None = None):
     """kNN of a 3D point set against itself via the shared row table."""
     if k <= TABLE_K and pos.shape[-1] == 3:
         table = _row_table(pos, valid, table_bound)
         if table is not None:
             return _filter_table(*table, k, radius)
         if radius is not None and pos.shape[1] > TABLE_MAX_N:
-            table = _grid_row_table(pos, valid, radius)
+            gr = _grid_table_radius(radius, grid_bound)
+            table = _grid_row_table(pos, valid, gr,
+                                    grid_cap if gr == grid_bound else None)
             if table is not None:
-                return table[0][..., :k], table[1][..., :k]
+                return _filter_table(*table, k,
+                                     radius if gr != radius else None)
     return knn(pos, pos, valid, valid, k, radius=radius)
 
 
 def subset_knn(pos, valid, sub_idx, sub_valid, k: int,
                radius: float | None = None,
-               table_bound: float | None = None):
+               table_bound: float | None = None,
+               grid_bound: float | None = None,
+               grid_cap: int | None = None):
     """kNN of row-subset queries ``pos[sub_idx]`` against the full set."""
     if k <= TABLE_K and pos.shape[-1] == 3:
         table = _row_table(pos, valid, table_bound)
         if table is None and radius is not None \
                 and pos.shape[1] > TABLE_MAX_N:
-            table = _grid_row_table(pos, valid, radius)
-            radius = None  # the grid table is already radius-filtered
+            gr = _grid_table_radius(radius, grid_bound)
+            table = _grid_row_table(pos, valid, gr,
+                                    grid_cap if gr == grid_bound else None)
+            if gr == radius:
+                radius = None  # the grid table is already radius-filtered
         if table is not None:
             idx, dist = table
             idx = jnp.take_along_axis(idx, sub_idx[..., None], axis=1)

@@ -64,10 +64,17 @@ def _apply_denses(h, denses, act: str, cdt):
     return h
 
 
-def _group_kernel(h1_ref, mask_ref, *refs,
+def _group_kernel(h1_ref, *refs,
                   n_local: int, n_attend: int, aggr: str, act: str,
-                  attend_act: str, k_planes: int, compute_dtype):
-    """Grid (M/tile_m, K/k_planes); scratch persists across axis 1."""
+                  attend_act: str, k_planes: int, compute_dtype,
+                  c1: int):
+    """Grid (M/tile_m, K/k_planes); scratch persists across axis 1.
+
+    The neighbor-validity mask rides as channel ``c1`` of the h1 slab —
+    a separate (K, M, 1) mask plane lane-pads 128x in HBM (a 767MB f32
+    buffer at flagship scale, ~1ms/step of pure fill traffic), while the
+    slab's lane dim is padded to 128 anyway so the extra channel is free.
+    """
     j = pl.program_id(1)
     nj = pl.num_programs(1)
     cdt = compute_dtype
@@ -92,11 +99,13 @@ def _group_kernel(h1_ref, mask_ref, *refs,
             acc[:] = jnp.zeros(acc.shape, jnp.float32)
 
     for p in range(k_planes):
-        h = h1_ref[p]                               # (tile_m, C1)
+        rec = h1_ref[p]                             # (tile_m, C1 + 1)
+        h = rec[:, :c1]
+        # f32 before the compare: Mosaic rejects bf16 vector comparisons
+        mask = rec[:, c1:c1 + 1].astype(jnp.float32) > 0   # (tile_m, 1)
         h = h.astype(jnp.float32) * s0[:] + t0[:]
         h = _act(h, act)
         msg = _apply_denses(h, loc, act, cdt)       # (tile_m, C_out) f32
-        mask = mask_ref[p] > 0                      # (tile_m, 1)
         if aggr == "max":
             hit = jnp.where(mask, msg, MAX_FILL)
             run_max[:] = jnp.maximum(run_max[:], hit)
@@ -179,11 +188,11 @@ def fused_group_reduce_single(
         tile_m = _pick_tile_m(m)
     kp = _round_up(k, k_planes)
     mp = _round_up(m, tile_m)
-    h1_t = jnp.moveaxis(h1, 1, 0)                       # (K, M, C1)
+    # mask rides as channel c1 of the slab (0/1 is exact in any float
+    # dtype); padded slots are zero = invalid, as required
+    h1 = jnp.concatenate([h1, mask.astype(cdt)[..., None]], axis=-1)
+    h1_t = jnp.moveaxis(h1, 1, 0)                       # (K, M, C1+1)
     h1_t = jnp.pad(h1_t, ((0, kp - k), (0, mp - m), (0, 0)))
-    # f32 mask: Mosaic rejects sub-word (i8/bf16) vector comparisons
-    mask_t = jnp.pad(mask.T[:, :, None].astype(jnp.float32),
-                     ((0, kp - k), (0, mp - m), (0, 0)))
 
     params, specs = [], []
 
@@ -213,12 +222,10 @@ def fused_group_reduce_single(
         functools.partial(
             _group_kernel, n_local=n_local, n_attend=n_attend, aggr=aggr,
             act=act, attend_act=attend_act, k_planes=k_planes,
-            compute_dtype=cdt),
+            compute_dtype=cdt, c1=c1),
         grid=(mp // tile_m, kp // k_planes),
         in_specs=[
-            pl.BlockSpec((k_planes, tile_m, c1), lambda t, j: (j, t, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((k_planes, tile_m, 1), lambda t, j: (j, t, 0),
+            pl.BlockSpec((k_planes, tile_m, c1 + 1), lambda t, j: (j, t, 0),
                          memory_space=pltpu.VMEM),
         ] + specs,
         out_specs=pl.BlockSpec((tile_m, out_c), lambda t, j: (t, 0),
@@ -229,7 +236,7 @@ def fused_group_reduce_single(
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(h1_t, mask_t, *params)
+    )(h1_t, *params)
     return out[:m]
 
 
