@@ -28,6 +28,19 @@ affordable cap; measured at the nuScenes flagship 23040-row r=0.04 table:
 max 156/cell over seeds, so cap=192 is lossless there (tests/
 test_grid_recall.py pins the operating points).
 
+Strip rows (``strip=3``, NEGATIVE result, off by default): each table row
+covers THREE x-adjacent cells (each point scatters into the strips at
+x-1, x, x+1; rows are 3*cap wide), so a query fetches only the NINE
+strips (q_x, q_y+dy, q_z+dz) — 3x fewer row fetches for identical recall
+semantics (each in-radius point appears in exactly one fetched strip).
+A/B on v5e (tools/grid_ab.py, scan-chained, overflow_planes=2):
+73728 r=0.04 cap=192: 85.5 -> 98.8 ms; 36864 r=0.1 cap=128:
+33.2 -> 36.5 ms; 131072 r=0.04 cap=192: 155.6 -> 162.3 ms.  The 3x
+bigger rank sort (3N entries; ~400k rows at KITTI) plus the +14% wider
+extraction (11*3cap vs 29*cap planes) outweigh the saved gathers — the
+plane gathers were already amortized across k-extraction rounds.  Kept
+behind ``strip=3`` / env ``CCN_GRID_STRIP=3`` so the A/B stays runnable.
+
 Hash collisions are harmless for correctness: colliding far cells' points
 fail the radius test; colliding near cells' points are genuine in-radius
 neighbors.  They only share the per-bucket ``cap`` budget.
@@ -55,6 +68,9 @@ _NEIGHBOR_OFFSETS = np.array(
 _NEIGHBOR_OFFSETS8 = np.array(
     [[dx, dy, dz] for dx in (0, 1) for dy in (0, 1)
      for dz in (0, 1)], np.int32)      # (8, 3)
+_NEIGHBOR_OFFSETS_YZ = np.array(
+    [[0, dy, dz] for dy in (-1, 0, 1) for dz in (-1, 0, 1)],
+    np.int32)                          # (9, 3) — strip rows span x already
 
 
 def default_hash_bits(n: int) -> int:
@@ -84,7 +100,8 @@ def _hash(cell_id: jax.Array, hash_bits: int) -> jax.Array:
 
 def grid_knn_single(query, points, q_valid, p_valid, k: int, radius: float,
                     cap: int = 16, stencil: int = 27,
-                    hash_bits: int | None = None, overflow_planes: int = 0):
+                    hash_bits: int | None = None, overflow_planes: int = 0,
+                    strip: int | None = None):
     """Single-sample grid kNN. query (Q,3), points (N,3) -> (Q,k) idx/dist.
 
     ``overflow_planes``: points a dense cell drops at ``cap`` spill into
@@ -94,14 +111,34 @@ def grid_knn_single(query, points, q_valid, p_valid, k: int, radius: float,
     239 dropped at cap=192 across realistic-seed flagship rows, so 2
     planes (384) make the 8-stencil table exact there at +25% extraction
     width instead of the 2x a lossless per-cell cap would cost.
+
+    ``strip``: cells per table row along x (see module docstring — a
+    measured NEGATIVE, default 1; env CCN_GRID_STRIP=3 re-enables for the
+    27-stencil).  ``cap`` stays the PER-CELL budget; rows hold
+    ``strip * cap`` records.
     """
+    import os
+
     n = points.shape[0]
+    if strip is None:
+        strip = (int(os.environ.get("CCN_GRID_STRIP", "1"))
+                 if stencil == 27 else 1)
     if hash_bits is None:
         hash_bits = default_hash_bits(n)
     nbuckets = 1 << hash_bits
     cell = radius if stencil == 27 else 2.0 * radius
-    pc = _pack(_cell_coords(points, cell))
-    bucket = _hash(pc, hash_bits)
+    cc = _cell_coords(points, cell)
+    if strip == 3:
+        # each point lands in the 3 strips (x-1, x, x+1, y, z) whose
+        # 3-cell x coverage includes its cell
+        offs_x = np.array([[-1, 0, 0], [0, 0, 0], [1, 0, 0]], np.int32)
+        sc = jnp.clip(cc[None, :, :] + offs_x[:, None, :], 0, _MASK)
+        bucket = _hash(_pack(sc), hash_bits).reshape(-1)     # (3N,)
+        p_valid = jnp.tile(p_valid, strip)
+    else:
+        bucket = _hash(_pack(cc), hash_bits)
+    m = n * strip
+    cap_row = cap * strip
     bucket = jnp.where(p_valid, bucket, nbuckets)  # park invalid
 
     # rank within bucket via one sort.  The secondary key is a hashed
@@ -112,9 +149,9 @@ def grid_knn_single(query, points, q_valid, p_valid, k: int, radius: float,
     # the max/attend aggregations downstream).  Reference FRNN has no cap,
     # but reference ball queries themselves truncate at K=128 in index
     # order (point_ops.py:81); this is strictly better behaved.
-    pos_iota = jnp.arange(n, dtype=jnp.int32)
+    pos_iota = jnp.arange(m, dtype=jnp.int32)
     shuffled = jnp.bitwise_and(
-        pos_iota * jnp.int32(np.int32(0x9E3779B1 - 2**32)),
+        (pos_iota % n) * jnp.int32(np.int32(0x9E3779B1 - 2**32)),
         jnp.int32(0x7FFFFFFF))
     _, _, order = jax.lax.sort(
         (bucket, shuffled, pos_iota), num_keys=2)
@@ -124,7 +161,7 @@ def grid_knn_single(query, points, q_valid, p_valid, k: int, radius: float,
     start_pos = jax.lax.associative_scan(
         jnp.maximum, jnp.where(is_start, pos_iota, 0))
     rank_sorted = pos_iota - start_pos
-    rank = jnp.zeros((n,), jnp.int32).at[order].set(rank_sorted)
+    rank = jnp.zeros((m,), jnp.int32).at[order].set(rank_sorted)
 
     # dense bucket matrix of point records [x, y, z, bitcast(orig_idx)]
     # Table rows are one bucket's records, channel-major: [x*cap, y*cap,
@@ -135,52 +172,57 @@ def grid_knn_single(query, points, q_valid, p_valid, k: int, radius: float,
         [points,
          jax.lax.bitcast_convert_type(
              jnp.arange(n, dtype=jnp.int32), jnp.float32)[:, None]], axis=-1)
+    if strip > 1:
+        rec = jnp.tile(rec, (strip, 1))  # matches the (strip, N) reshape
     neg1 = jax.lax.bitcast_convert_type(jnp.int32(-1), jnp.float32)
-    fill = jnp.repeat(jnp.array([_INF, _INF, _INF, neg1], jnp.float32), cap)
+    fill = jnp.repeat(jnp.array([_INF, _INF, _INF, neg1], jnp.float32),
+                      cap_row)
     # rows: [0, nbuckets) cells, nbuckets = parked invalid/overflowed,
     # (nbuckets, nbuckets+overflow_planes] shared overflow rows
     table = jnp.broadcast_to(
-        fill[None, :], (nbuckets + 1 + overflow_planes, cap * 4))
-    keep = (rank < cap) & p_valid
+        fill[None, :], (nbuckets + 1 + overflow_planes, cap_row * 4))
+    keep = (rank < cap_row) & p_valid
     safe_bucket = jnp.where(keep, bucket, nbuckets)
     safe_rank = jnp.where(keep, rank, 0)
     dropped = p_valid & ~keep
     if overflow_planes > 0:
         grank = jnp.cumsum(dropped.astype(jnp.int32)) - 1
-        okeep = dropped & (grank < overflow_planes * cap)
-        safe_bucket = jnp.where(okeep, nbuckets + 1 + grank // cap,
+        okeep = dropped & (grank < overflow_planes * cap_row)
+        safe_bucket = jnp.where(okeep, nbuckets + 1 + grank // cap_row,
                                 safe_bucket)
-        safe_rank = jnp.where(okeep, grank % cap, safe_rank)
+        safe_rank = jnp.where(okeep, grank % cap_row, safe_rank)
         dropped = dropped & ~okeep
     from . import telemetry
 
     if telemetry.active():
-        # points dropped by the per-bucket cap (and past the overflow
-        # planes) = potential recall loss; surfaced like the budget
-        # overflow counters (round-2 verdict)
+        # (point, strip) entries dropped by the per-row cap (and past the
+        # overflow planes) = potential recall loss; surfaced like the
+        # budget overflow counters (round-2 verdict)
         telemetry.record(f"grid_cap_drop.n{n}.r{radius:g}.s{stencil}",
                          jnp.sum(dropped))
-    cols = safe_rank[:, None] + cap * jnp.arange(4, dtype=jnp.int32)[None, :]
+    cols = (safe_rank[:, None]
+            + cap_row * jnp.arange(4, dtype=jnp.int32)[None, :])
     table = table.at[safe_bucket[:, None], cols].set(rec)
 
     if stencil == 27:
         qc = _cell_coords(query, cell)  # (Q, 3)
-        offs = _NEIGHBOR_OFFSETS
+        offs = (_NEIGHBOR_OFFSETS if strip == 1
+                else _NEIGHBOR_OFFSETS_YZ)  # strips carry the x extent
     else:
         # 8-stencil: the ball [q-r, q+r] (width 2r <= cell) spans at most
         # two cells per axis, anchored at floor((q - r) / cell)
         qc = _cell_coords(query - radius, cell)
         offs = _NEIGHBOR_OFFSETS8
     nbr_coords = jnp.clip(qc[:, None, :] + offs[None, :, :], 0, _MASK)
-    nbr_buckets = _hash(_pack(nbr_coords), hash_bits)  # (Q, stencil)
+    nbr_buckets = _hash(_pack(nbr_coords), hash_bits)  # (Q, n_stencil_rows)
     q_ = query.shape[0]
     if overflow_planes > 0:
         ovf_rows = jnp.broadcast_to(
             nbuckets + 1 + jnp.arange(overflow_planes, dtype=jnp.int32),
             (q_, overflow_planes))
         nbr_buckets = jnp.concatenate([nbr_buckets, ovf_rows], axis=1)
-    ncells = stencil + overflow_planes
-    c_ = ncells * cap
+    ncells = len(offs) + overflow_planes
+    c_ = ncells * cap_row
 
     # TPU tail options (A/B-measured on v5e at the KITTI 73728 r=0.04
     # search):
@@ -193,8 +235,6 @@ def grid_knn_single(query, points, q_valid, p_valid, k: int, radius: float,
     #     bound (~7-14ns per gathered row), not bandwidth bound, so
     #     halving bytes doesn't move them.  Kept because it halves peak
     #     HBM scratch.
-    import os
-
     accel = jax.default_backend() not in ("cpu",)
     mode = os.environ.get("CCN_GRID_FUSED", "records")
     if accel and mode not in ("0",):
@@ -203,17 +243,18 @@ def grid_knn_single(query, points, q_valid, p_valid, k: int, radius: float,
         k_eff = min(k, c_)
         if mode == "records":
             top_d2, top_idx = pallas_topk.grid_topk_records(
-                table, nbr_buckets, query, q_valid, k_eff, cap, radius)
+                table, nbr_buckets, query, q_valid, k_eff, cap_row, radius)
             return _finalize(top_d2, top_idx, k, k_eff)
         qx, qy, qz = query[:, 0:1], query[:, 1:2], query[:, 2:3]
         r2 = radius * radius
+        cr = cap_row
         d2s, idxs = [], []
         for c in range(ncells):
-            rec = table[nbr_buckets[:, c]]          # (Q, cap*4) row gather
-            pid = jax.lax.bitcast_convert_type(rec[:, 3 * cap:], jnp.int32)
-            d2c = ((rec[:, 0 * cap:1 * cap] - qx) ** 2
-                   + (rec[:, 1 * cap:2 * cap] - qy) ** 2
-                   + (rec[:, 2 * cap:3 * cap] - qz) ** 2)
+            rec = table[nbr_buckets[:, c]]          # (Q, cap_row*4) gather
+            pid = jax.lax.bitcast_convert_type(rec[:, 3 * cr:], jnp.int32)
+            d2c = ((rec[:, 0 * cr:1 * cr] - qx) ** 2
+                   + (rec[:, 1 * cr:2 * cr] - qy) ** 2
+                   + (rec[:, 2 * cr:3 * cr] - qz) ** 2)
             good = (pid >= 0) & q_valid[:, None] & (d2c <= r2)
             d2s.append(jnp.where(good, d2c, _INF))
             idxs.append(pid)
@@ -222,11 +263,11 @@ def grid_knn_single(query, points, q_valid, p_valid, k: int, radius: float,
         top_d2, top_idx = pallas_topk.topk_smallest(d2, idx, k_eff)
         return _finalize(top_d2, top_idx, k, k_eff)
 
-    cand = table[nbr_buckets]  # (Q, ncells, cap*4) contiguous row gathers
+    cand = table[nbr_buckets]  # (Q, ncells, cap_row*4) contiguous gathers
     # distances computed in the table's channel-major layout — transposing
     # to (Q, ncells*cap, 4) first materializes multi-GB relayout copies at
     # the caps real densities need
-    cand = cand.reshape(q_, ncells, 4, cap)
+    cand = cand.reshape(q_, ncells, 4, cap_row)
     d2 = ((cand[:, :, 0] - query[:, None, 0:1]) ** 2
           + (cand[:, :, 1] - query[:, None, 1:2]) ** 2
           + (cand[:, :, 2] - query[:, None, 2:3]) ** 2)     # (Q, 27, cap)
@@ -287,12 +328,13 @@ def _finalize(top_d2, top_idx, k: int, k_eff: int):
 
 
 @functools.partial(jax.jit, static_argnames=("k", "radius", "cap", "stencil",
-                                             "hash_bits", "overflow_planes"))
+                                             "hash_bits", "overflow_planes",
+                                             "strip"))
 def grid_knn(query, points, q_valid, p_valid, k: int, radius: float,
              cap: int = 16, stencil: int = 27, hash_bits: int | None = None,
-             overflow_planes: int = 0):
+             overflow_planes: int = 0, strip: int | None = None):
     """Batched grid-hash fixed-radius kNN (ops.neighbors.knn signature)."""
     fn = functools.partial(grid_knn_single, k=k, radius=radius, cap=cap,
                            stencil=stencil, hash_bits=hash_bits,
-                           overflow_planes=overflow_planes)
+                           overflow_planes=overflow_planes, strip=strip)
     return jax.vmap(fn)(query, points, q_valid, p_valid)
