@@ -40,6 +40,30 @@ from .modules import (
 from .spec import ModelSpec
 
 
+def _voxel_cell_occupancy(cell: float, v: float) -> int:
+    """Exact max count of v-voxels intersecting any grid cell of edge
+    ``cell`` (cubed), both grids floor(p/size)-anchored at the origin
+    (ops/grid_knn._cell_coords and ops/sampling.voxel_downsample).
+
+    The naive (floor(cell/v)+1)^3 is WRONG for general ratios: at
+    cell/v = 3.9 the alignment drift reaches floor+2 per axis.  Integer
+    rationalization (1e-6 quantum) makes the per-cell sweep exact, and
+    the pattern repeats with period v/gcd so the sweep is tiny.  Points
+    sitting within float-eps of a voxel boundary can drift one index;
+    the grid's 2 shared overflow planes absorb such stray spills
+    losslessly (ops/grid_knn.grid_knn_single).
+    """
+    import math
+
+    ci, vi = round(cell * 1e6), round(v * 1e6)
+    g = math.gcd(ci, vi)
+    per_axis = 0
+    for i in range(vi // g):
+        per_axis = max(per_axis,
+                       ((i + 1) * ci - 1) // vi - (i * ci) // vi + 1)
+    return per_axis ** 3
+
+
 def _row_radius_bounds(spec: ModelSpec):
     """Per-row table bounds: (max consumer radius, shareable grid bound).
 
@@ -108,10 +132,12 @@ def _row_radius_bounds(spec: ModelSpec):
     grid_caps = {}
     for rid, rs in radii.items():
         v = row_voxel.get(rid)
-        eligible = [r for r in rs if r is not None and r <= 0.15]
+        eligible = [r for r in rs if r is not None
+                    and _voxel_cell_occupancy(r, v) <= grid_cap(TABLE_K)] \
+            if v else []
         if v and eligible:
             gb = max(eligible)
-            proven = (int(gb / v) + 1) ** 3
+            proven = _voxel_cell_occupancy(gb, v)
             if proven <= grid_cap(TABLE_K):
                 grid_bounds[rid] = gb
                 # the voxel proof also bounds the cap itself: no cell can

@@ -54,7 +54,8 @@ def _maybe_attend_mlp(spec: ModelSpec, step: StepSpec, d: int,
 
 def _fused_group_eval(module: nn.Module, spec: ModelSpec, step: StepSpec,
                       dims: Tuple[int, ...], h1_fn, nbr_mask,
-                      act: str, family: str = "") -> Optional[jax.Array]:
+                      act: str, family: str = "",
+                      k_major: bool = False) -> Optional[jax.Array]:
     """Shared eval-megakernel dispatch for every grouped conv family.
 
     ``h1_fn()`` must return the layer-0 pre-norm messages (B, M, K, C1);
@@ -97,7 +98,8 @@ def _fused_group_eval(module: nn.Module, spec: ModelSpec, step: StepSpec,
             pa, ba, len(_attend_dims(spec, step, dims[-1])) - 1)
     out = pallas_group.fused_group_reduce(
         h1, nbr_mask, aff, loc, att, aggr=step.aggr_type,
-        act=act, attend_act="leaky_relu", interpret=interp)
+        act=act, attend_act="leaky_relu", interpret=interp,
+        k_major=k_major)
     return out.astype(_dt(spec) or jnp.float32)
 
 
@@ -231,30 +233,44 @@ class CurveSAStep(nn.Module):
             # first layer exactly as the materialized path below; rel is
             # pre-cast to the feature dtype — the Dense would cast the
             # concat anyway, so this halves HBM traffic without changing
-            # a single rounding
+            # a single rounding.  The window gather emits the kernel's
+            # position-major (B, K, M, C) slab layout DIRECTLY (ascending
+            # window order; aggregation is slot-order-free under the
+            # mask), deleting the (M, K, C)->(K, M, C) relayout.
             if cloud.x is not None:
                 # one packed window slice for (x, pos) — bit-identical to
                 # the two separate slices at half the row-fetch count
                 xw, pw = curve1d.gather_window_with_pos(
                     cloud.x, cloud.pos, idx, self.window,
-                    idx_valid=down.valid, unique_rows=True)
-                rel = pw - down.pos[:, :, None, :].astype(jnp.float32)
+                    idx_valid=down.valid, unique_rows=True, k_major=True)
+                rel = pw - down.pos[:, None, :, :].astype(jnp.float32)
                 if step.normalize_radius and step.radius:
                     rel = rel / step.radius
                 msg = jnp.concatenate([xw, rel.astype(xw.dtype)], axis=-1)
             else:
                 pw = curve1d.gather_window_features(
                     cloud.pos, idx, self.window,
-                    idx_valid=down.valid, unique_rows=True)
-                rel = pw - down.pos[:, :, None, :]
+                    idx_valid=down.valid, unique_rows=True, k_major=True)
+                rel = pw - down.pos[:, None, :, :]
                 if step.normalize_radius and step.radius:
                     rel = rel / step.radius
                 msg = rel
-            return local_nn(msg, mask=nbr_mask, train=False, upto=0)
+            # flatten AT the gather output (contiguous in the k-major
+            # layout, so the reshape is free): the layer-0 Dense then
+            # lowers to one plain (W*M, C)x(C, C1) matmul instead of a
+            # batched 1x1 conv that relayouts the slab (the downstream-
+            # flatten variant of this was a measured NEGATIVE — see
+            # CLAUDE.md round-3 (d) — the gather output is the one place
+            # the flat layout comes for free)
+            b, w_, m_, c_ = msg.shape
+            h1 = local_nn(msg.reshape(b, w_ * m_, c_), mask=None,
+                          train=False, upto=0)
+            return h1.reshape(b, w_, m_, -1)
 
+        mask_asc = curve1d.ascending_from_interleaved(nbr_mask, self.window)
         return _fused_group_eval(self, self.spec, step, self.dims, h1_fn,
-                                 nbr_mask, act="leaky_relu",
-                                 family="sageo")
+                                 mask_asc, act="leaky_relu",
+                                 family="sageo", k_major=True)
 
     def _stream(self, cloud: Cloud, down: Cloud, idx, nbr_mask, local_nn,
                 attend_nn, train, bn_momentum):

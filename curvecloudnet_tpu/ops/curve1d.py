@@ -61,9 +61,9 @@ def same_curve_shift_mask(curve_id: jax.Array, valid: jax.Array,
 import functools
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
 def _window_slice3(x: jax.Array, idx: jax.Array, idx_valid, half_w: int,
-                   fill, unique_rows: bool):
+                   fill, unique_rows: bool, k_major: bool = False):
     """(B, N, C), (B, M) -> (B, M, 2*half_w+1, C) contiguous windows.
 
     ``unique_rows=True`` asserts the VALID entries of ``idx`` are unique
@@ -74,6 +74,13 @@ def _window_slice3(x: jax.Array, idx: jax.Array, idx_valid, half_w: int,
     path — exact whenever downstream masks padded queries (it does:
     masked BN/aggregations/losses).  ``idx_valid`` may be None when every
     slot is valid; it is ignored for the scatter path.
+
+    ``k_major=True`` emits (B, 2*half_w+1, M, C) — the gather writes the
+    window-position-major layout DIRECTLY (offset dim 0 instead of 1), so
+    consumers that want (K, M, C) slabs (ops/pallas_group.py) skip the
+    (M, K, C) -> (K, M, C) relayout XLA would otherwise materialize
+    (~1.7 ms/step at flagship sa-geo scale).  Fetch pattern and cost are
+    identical — only the output write order changes.
     """
     b, n, c = x.shape
     w = 2 * half_w + 1
@@ -84,8 +91,8 @@ def _window_slice3(x: jax.Array, idx: jax.Array, idx_valid, half_w: int,
     # query-count while-loop on TPU — measured ~2x slower than even the
     # per-element row gather it was meant to replace.)
     dnums = jax.lax.GatherDimensionNumbers(
-        offset_dims=(1, 2), collapsed_slice_dims=(),
-        start_index_map=(0,))
+        offset_dims=(0, 2) if k_major else (1, 2),
+        collapsed_slice_dims=(), start_index_map=(0,))
 
     def one(xrow, irow):
         return jax.lax.gather(
@@ -95,12 +102,14 @@ def _window_slice3(x: jax.Array, idx: jax.Array, idx_valid, half_w: int,
     return jax.vmap(one)(xp, idx)  # idx is already the padded-row start
 
 
-def _window_slice3_fwd(x, idx, idx_valid, half_w, fill, unique_rows):
-    return (_window_slice3(x, idx, idx_valid, half_w, fill, unique_rows),
+def _window_slice3_fwd(x, idx, idx_valid, half_w, fill, unique_rows,
+                       k_major=False):
+    return (_window_slice3(x, idx, idx_valid, half_w, fill, unique_rows,
+                           k_major),
             (idx, idx_valid, x.shape))
 
 
-def _window_slice3_bwd(half_w, fill, unique_rows, res, g):
+def _window_slice3_bwd(half_w, fill, unique_rows, k_major, res, g):
     """Custom transpose: XLA's VJP of a slice-gather is a SERIAL per-query
     scatter loop (measured ~140 ms/step at lidar scale).  Instead: one
     wide-row scatter of the window grads to their query rows (or, for
@@ -108,6 +117,8 @@ def _window_slice3_bwd(half_w, fill, unique_rows, res, g):
     adds.
     """
     idx, idx_valid, xshape = res
+    if k_major:
+        g = jnp.moveaxis(g, 1, 2)  # (B, W, M, C) -> (B, M, W, C)
     b, n, c = xshape
     w = 2 * half_w + 1
     m = idx.shape[1]
@@ -138,17 +149,20 @@ _window_slice3.defvjp(_window_slice3_fwd, _window_slice3_bwd)
 
 def window_slice(x: jax.Array, idx: jax.Array, half_w: int,
                  fill=0.0, idx_valid=None,
-                 unique_rows: bool = False) -> jax.Array:
+                 unique_rows: bool = False,
+                 k_major: bool = False) -> jax.Array:
     """Contiguous per-query windows x[idx-half_w : idx+half_w+1].
 
-    x: (B, N, C) or (B, N); idx: (B, M).  Returns (B, M, 2*half_w+1[, C]).
+    x: (B, N, C) or (B, N); idx: (B, M).  Returns (B, M, 2*half_w+1[, C])
+    (or (B, 2*half_w+1, M[, C]) with ``k_major``, see :func:`_window_slice3`).
     ``unique_rows``/``idx_valid``: see :func:`_window_slice3` — enables the
     inverse-gather transpose when valid idx entries are unique per sample.
     """
     squeeze = x.ndim == 2
     if squeeze:
         x = x[..., None]
-    out = _window_slice3(x, idx, idx_valid, half_w, fill, unique_rows)
+    out = _window_slice3(x, idx, idx_valid, half_w, fill, unique_rows,
+                         k_major)
     return out[..., 0] if squeeze else out
 
 
@@ -255,9 +269,18 @@ def radius_1d_group_subset(pos: jax.Array, idx: jax.Array,
 
 def gather_window_features(x: jax.Array, idx: jax.Array,
                            half_w: int, idx_valid=None,
-                           unique_rows: bool = False) -> jax.Array:
+                           unique_rows: bool = False,
+                           k_major: bool = False) -> jax.Array:
     """Per-query interleaved feature windows (B, M, 2w+1, C) via contiguous
-    slices — the companion gather for the windowed groupers above."""
+    slices — the companion gather for the windowed groupers above.
+
+    ``k_major=True`` returns (B, 2w+1, M, C) in ASCENDING window order
+    (no interleave permutation): consumers on that path aggregate over the
+    whole window under a mask, so slot order is free — pair it with
+    :func:`ascending_from_interleaved` on the grouper's mask."""
+    if k_major:
+        return window_slice(x, idx, half_w, idx_valid=idx_valid,
+                            unique_rows=unique_rows, k_major=True)
     perm = _interleave_perm(half_w)
     return window_slice(x, idx, half_w, idx_valid=idx_valid,
                         unique_rows=unique_rows)[:, :, perm]
@@ -265,7 +288,8 @@ def gather_window_features(x: jax.Array, idx: jax.Array,
 
 def gather_window_with_pos(x: jax.Array, pos: jax.Array, idx: jax.Array,
                            half_w: int, idx_valid=None,
-                           unique_rows: bool = False):
+                           unique_rows: bool = False,
+                           k_major: bool = False):
     """One combined window slice of (features, exact f32 positions).
 
     Window fetches charge per ROW like any gather, so a second 3-wide
@@ -274,7 +298,9 @@ def gather_window_with_pos(x: jax.Array, pos: jax.Array, idx: jax.Array,
     bf16 — bits move losslessly, exact f32 reconstruction).  Bit-identical
     to two separate :func:`gather_window_features` calls.
 
-    Returns (x_win (B, M, 2w+1, C), pos_win (B, M, 2w+1, 3) float32).
+    Returns (x_win (B, M, 2w+1, C), pos_win (B, M, 2w+1, 3) float32);
+    with ``k_major`` the window axis leads (ascending order, see
+    :func:`gather_window_features`).
     """
     from .interpolate import _pack_f32_as_2bf16, _unpack_2bf16_as_f32
 
@@ -282,12 +308,12 @@ def gather_window_with_pos(x: jax.Array, pos: jax.Array, idx: jax.Array,
     if x.dtype == jnp.float32:
         rec = jnp.concatenate([x, posf], axis=-1)
         rw = gather_window_features(rec, idx, half_w, idx_valid=idx_valid,
-                                    unique_rows=unique_rows)
+                                    unique_rows=unique_rows, k_major=k_major)
         return rw[..., :-3], rw[..., -3:]
     rec = jnp.concatenate([x.astype(jnp.bfloat16), _pack_f32_as_2bf16(posf)],
                           axis=-1)
     rw = gather_window_features(rec, idx, half_w, idx_valid=idx_valid,
-                                unique_rows=unique_rows)
+                                unique_rows=unique_rows, k_major=k_major)
     return rw[..., :-6], _unpack_2bf16_as_f32(rw[..., -6:])
 
 

@@ -142,7 +142,8 @@ def _extract_k_smallest(d2, idx, k):
 
 def knn(query: jax.Array, points: jax.Array, q_valid: jax.Array,
         p_valid: jax.Array, k: int, radius: float | None = None,
-        block: int = 4096, cap_override: int | None = None):
+        block: int = 4096, cap_override: int | None = None,
+        force_grid: bool = False):
     """Exact masked kNN: for each valid query, the k nearest valid points.
 
     Args:
@@ -163,6 +164,13 @@ def knn(query: jax.Array, points: jax.Array, q_valid: jax.Array,
     n = points.shape[1]
     k = min(k, n)
     backend = _pick_backend(query.shape[-1], radius, n)
+    if force_grid and radius is not None:
+        # proven-cap shared tables (see _proven_grid_first): the caller has
+        # a spec-level occupancy proof, so the grid is exact there even
+        # where _pick_backend's generic rules would choose brute (on CPU
+        # the grid's XLA tail runs too — model dispatch gates CPU off via
+        # _proven_grid_first, but tests exercise this path directly)
+        backend = "grid"
     if backend == "grid8" and radius is not None:
         from . import grid_knn as grid_mod
 
@@ -334,7 +342,8 @@ def _grid_row_table(pos: jax.Array, valid: jax.Array, radius: float,
     if hit is not None and hit[0] is pos and hit[1] is valid:
         return hit[2]
     table = knn(pos, pos, valid, valid, min(TABLE_K, pos.shape[1]),
-                radius=float(radius), cap_override=cap)
+                radius=float(radius), cap_override=cap,
+                force_grid=cap is not None)
     _TABLE_CACHE[key] = (pos, valid, table)
     return table
 
@@ -360,12 +369,41 @@ def _grid_table_radius(radius, grid_bound):
     return radius
 
 
+# Proven-cap grid tables can also beat the exact brute table BELOW the
+# brute limit: the flagship 11520 voxel-0.03 row (bound 0.1, proven cap 64)
+# pays 6.4 ms/step on the brute kernel's extraction floor, while a
+# 27-stencil cell-0.1 grid scans only 29*64 = 1856 candidates/query.
+# Conditions: the grid bound must cover EVERY consumer (grid_bound ==
+# table_bound, so the brute table isn't also built) and the candidate
+# width must be well under the brute width (factor 3: the grid's
+# constant-factor overhead — plane gathers + build sort — costs ~3x a
+# brute distance pass per candidate, measured on the 23040 r=0.04 table).
+GRID_PROVEN_MIN_N = int(os.environ.get("CCN_GRID_PROVEN_MIN_N", 8192))
+
+
+def _proven_grid_first(n: int, table_bound, grid_bound, cap) -> bool:
+    if grid_bound is None or cap is None or table_bound is None:
+        return False
+    if os.environ.get("CCN_GRID_PROVEN", "1") == "0":
+        return False
+    if jax.default_backend() in ("cpu",):
+        return False
+    if float(grid_bound) != float(table_bound):
+        return False   # some consumer outruns the grid table: brute-only
+    return n >= GRID_PROVEN_MIN_N and 29 * cap * 3 <= n
+
+
 def same_set_knn(pos, valid, k: int, radius: float | None = None,
                  table_bound: float | None = None,
                  grid_bound: float | None = None,
                  grid_cap: int | None = None):
     """kNN of a 3D point set against itself via the shared row table."""
     if k <= TABLE_K and pos.shape[-1] == 3:
+        if radius is not None and _proven_grid_first(
+                pos.shape[1], table_bound, grid_bound, grid_cap):
+            table = _grid_row_table(pos, valid, float(grid_bound), grid_cap)
+            if table is not None:
+                return _filter_table(*table, k, radius)
         table = _row_table(pos, valid, table_bound)
         if table is not None:
             return _filter_table(*table, k, radius)
@@ -386,7 +424,12 @@ def subset_knn(pos, valid, sub_idx, sub_valid, k: int,
                grid_cap: int | None = None):
     """kNN of row-subset queries ``pos[sub_idx]`` against the full set."""
     if k <= TABLE_K and pos.shape[-1] == 3:
-        table = _row_table(pos, valid, table_bound)
+        table = None
+        if radius is not None and _proven_grid_first(
+                pos.shape[1], table_bound, grid_bound, grid_cap):
+            table = _grid_row_table(pos, valid, float(grid_bound), grid_cap)
+        if table is None:
+            table = _row_table(pos, valid, table_bound)
         if table is None and radius is not None \
                 and pos.shape[1] > TABLE_MAX_N:
             gr = _grid_table_radius(radius, grid_bound)

@@ -67,21 +67,31 @@ def _apply_denses(h, denses, act: str, cdt):
 def _group_kernel(h1_ref, *refs,
                   n_local: int, n_attend: int, aggr: str, act: str,
                   attend_act: str, k_planes: int, compute_dtype,
-                  c1: int):
+                  c1: int, mask_sep: bool = False):
     """Grid (M/tile_m, K/k_planes); scratch persists across axis 1.
 
     The neighbor-validity mask rides as channel ``c1`` of the h1 slab —
     a separate (K, M, 1) mask plane lane-pads 128x in HBM (a 767MB f32
     buffer at flagship scale, ~1ms/step of pure fill traffic), while the
     slab's lane dim is padded to 128 anyway so the extra channel is free.
+
+    ``mask_sep`` (the k-major path): the mask instead arrives as a 2D
+    query-major (tile_m, KP) f32 operand holding ALL k columns (Mosaic
+    requires lane-dim blocks to be 128-divisible or whole, so the block
+    spans the full K axis; its index_map ignores j, so consecutive
+    j-steps reuse the fetched block).  The caller then skips the
+    mask-channel concat that rewrote the whole slab in XLA (~1.7 ms/step
+    at flagship sa-geo scale).  Plane p's column is read by masked
+    reduction over the lane iota (dynamic lane index: j*k_planes+p).
     """
     j = pl.program_id(1)
     nj = pl.num_programs(1)
     cdt = compute_dtype
 
-    # unpack: local affine0 (s, t), local denses, attend denses, then
-    # out_ref and scratch refs
+    # unpack: [mask plane when mask_sep], local affine0 (s, t), local
+    # denses, attend denses, then out_ref and scratch refs
     it = iter(refs)
+    m_ref = next(it) if mask_sep else None
     s0, t0 = next(it), next(it)
     loc = [(next(it), next(it)) for _ in range(n_local)]
     att = [(next(it), next(it)) for _ in range(n_attend)]
@@ -99,10 +109,16 @@ def _group_kernel(h1_ref, *refs,
             acc[:] = jnp.zeros(acc.shape, jnp.float32)
 
     for p in range(k_planes):
-        rec = h1_ref[p]                             # (tile_m, C1 + 1)
+        rec = h1_ref[p]                             # (tile_m, C1 [+ 1])
         h = rec[:, :c1]
         # f32 before the compare: Mosaic rejects bf16 vector comparisons
-        mask = rec[:, c1:c1 + 1].astype(jnp.float32) > 0   # (tile_m, 1)
+        if mask_sep:
+            lane = jax.lax.broadcasted_iota(jnp.int32, m_ref.shape, 1)
+            col = j * k_planes + p
+            mask = jnp.sum(jnp.where(lane == col, m_ref[:], 0.0),
+                           axis=1, keepdims=True) > 0      # (tile_m, 1)
+        else:
+            mask = rec[:, c1:c1 + 1].astype(jnp.float32) > 0
         h = h.astype(jnp.float32) * s0[:] + t0[:]
         h = _act(h, act)
         msg = _apply_denses(h, loc, act, cdt)       # (tile_m, C_out) f32
@@ -161,17 +177,26 @@ def _pick_tile_m(m: int, cap: int = 2048) -> int:
 @functools.partial(
     jax.jit,
     static_argnames=("aggr", "act", "attend_act", "tile_m", "k_planes",
-                     "interpret"))
+                     "interpret", "k_major"))
 def fused_group_reduce_single(
         h1, mask, local_affine0, local_denses, attend_denses,
         aggr: str = "attend", act: str = "leaky_relu",
         attend_act: str = "leaky_relu", tile_m: Optional[int] = None,
-        k_planes: Optional[int] = None, interpret: bool = False):
+        k_planes: Optional[int] = None, interpret: bool = False,
+        k_major: bool = False):
     """One sample.
 
     h1   (M, K, C1) — first-layer pre-norm messages (query-major; the
-         position-major transpose happens here so callers stay simple)
-    mask (M, K) bool
+         position-major transpose happens here so callers stay simple).
+         With ``k_major=True``: h1 (K, M, C1) arrives ALREADY
+         position-major (the window gather can emit that layout natively,
+         see curve1d._window_slice3) — no transpose here, the mask rides
+         as a separate 2D operand instead of a slab channel (no concat),
+         and when k_planes | K and tile_m | M the pad is a no-op: the
+         slab is consumed exactly as the producer wrote it.
+    mask (M, K) bool — query-major in BOTH layouts; with ``k_major`` its
+         column order must match h1's plane order (ascending window
+         order when produced by curve1d's k-major gather)
     local_affine0: (s, t) each (C1,) f32 — layer-0 BN folded to an affine
     local_denses: sequence of (W (Ci, Cj), b (Cj,)); hidden layers carry
          their BN fold in W/b (see fold_mlp_eval); last layer plain
@@ -179,7 +204,10 @@ def fused_group_reduce_single(
          (fold_full_mlp_eval); required when aggr='attend'
     Returns (M, C_out) f32.
     """
-    m, k, c1 = h1.shape
+    if k_major:
+        k, m, c1 = h1.shape
+    else:
+        m, k, c1 = h1.shape
     cdt = h1.dtype
     out_c = local_denses[-1][0].shape[1] if local_denses else c1
     if k_planes is None:
@@ -188,11 +216,16 @@ def fused_group_reduce_single(
         tile_m = _pick_tile_m(m)
     kp = _round_up(k, k_planes)
     mp = _round_up(m, tile_m)
-    # mask rides as channel c1 of the slab (0/1 is exact in any float
-    # dtype); padded slots are zero = invalid, as required
-    h1 = jnp.concatenate([h1, mask.astype(cdt)[..., None]], axis=-1)
-    h1_t = jnp.moveaxis(h1, 1, 0)                       # (K, M, C1+1)
-    h1_t = jnp.pad(h1_t, ((0, kp - k), (0, mp - m), (0, 0)))
+    if k_major:
+        h1_t = jnp.pad(h1, ((0, kp - k), (0, mp - m), (0, 0)))
+        mask2 = jnp.pad(mask.astype(jnp.float32),
+                        ((0, mp - m), (0, kp - k)))     # 0 = invalid
+    else:
+        # mask rides as channel c1 of the slab (0/1 is exact in any float
+        # dtype); padded slots are zero = invalid, as required
+        h1 = jnp.concatenate([h1, mask.astype(cdt)[..., None]], axis=-1)
+        h1_t = jnp.moveaxis(h1, 1, 0)                   # (K, M, C1+1)
+        h1_t = jnp.pad(h1_t, ((0, kp - k), (0, mp - m), (0, 0)))
 
     params, specs = [], []
 
@@ -218,16 +251,23 @@ def fused_group_reduce_single(
             add_const(b, jnp.float32)
 
     n_scratch = 3 if aggr == "attend" else 1
+    in_specs = [
+        pl.BlockSpec((k_planes, tile_m, c1 + (0 if k_major else 1)),
+                     lambda t, j: (j, t, 0), memory_space=pltpu.VMEM),
+    ]
+    operands = [h1_t]
+    if k_major:
+        in_specs.append(pl.BlockSpec((tile_m, kp),
+                                     lambda t, j: (t, 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(mask2)
     out = pl.pallas_call(
         functools.partial(
             _group_kernel, n_local=n_local, n_attend=n_attend, aggr=aggr,
             act=act, attend_act=attend_act, k_planes=k_planes,
-            compute_dtype=cdt, c1=c1),
+            compute_dtype=cdt, c1=c1, mask_sep=k_major),
         grid=(mp // tile_m, kp // k_planes),
-        in_specs=[
-            pl.BlockSpec((k_planes, tile_m, c1 + 1), lambda t, j: (j, t, 0),
-                         memory_space=pltpu.VMEM),
-        ] + specs,
+        in_specs=in_specs + specs,
         out_specs=pl.BlockSpec((tile_m, out_c), lambda t, j: (t, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((mp, out_c), jnp.float32),
@@ -236,7 +276,7 @@ def fused_group_reduce_single(
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(h1_t, *params)
+    )(*operands, *params)
     return out[:m]
 
 
@@ -245,15 +285,19 @@ def fused_group_reduce(h1, mask, local_affine0, local_denses,
                        aggr: str = "attend", act: str = "leaky_relu",
                        attend_act: str = "leaky_relu",
                        tile_m: Optional[int] = None,
-                       interpret: bool = False):
-    """Batched (B, M, K, C1) -> (B, M, C_out) f32."""
+                       interpret: bool = False, k_major: bool = False):
+    """Batched (B, M, K, C1) -> (B, M, C_out) f32.
+
+    ``k_major``: h1 (B, K, M, C1) arrives position-major; mask stays
+    query-major (B, M, K), its column order matching h1's plane order
+    (see fused_group_reduce_single)."""
     aff = (jnp.asarray(local_affine0[0]), jnp.asarray(local_affine0[1]))
     loc = tuple((jnp.asarray(w), jnp.asarray(b)) for w, b in local_denses)
     att = (tuple((jnp.asarray(w), jnp.asarray(b)) for w, b in attend_denses)
            if attend_denses is not None else None)
     fn = functools.partial(
         fused_group_reduce_single, aggr=aggr, act=act, attend_act=attend_act,
-        tile_m=tile_m, interpret=interpret)
+        tile_m=tile_m, interpret=interpret, k_major=k_major)
     return jax.vmap(lambda a, mk: fn(a, mk, aff, loc, att))(h1, mask)
 
 

@@ -69,3 +69,67 @@ def test_large_k_bypasses_table():
         idx, _ = neighbors.same_set_knn(pos, valid, 48)  # > TABLE_K
     ref, _ = neighbors.knn(pos, pos, valid, valid, 48)
     np.testing.assert_array_equal(np.asarray(idx), np.asarray(ref))
+
+
+def test_proven_grid_table_matches_brute():
+    """A voxel-proven-cap forced-grid table returns the same neighbor sets
+    as the exact brute search (the spec-proof guarantees no cell
+    truncates; 2 overflow planes absorb hash-collision spills)."""
+    rng = np.random.default_rng(3)
+    # voxel-like set: points on a jittered 0.1-spaced grid -> occupancy of
+    # a 0.3-cell is provably <= (0.3/0.1 + 1)^3 = 64
+    base = rng.uniform(-1.5, 1.5, (1, 2048, 3)).astype(np.float32)
+    pos = jnp.asarray(np.round(base / 0.1) * 0.1
+                      + rng.normal(0, 0.01, base.shape).astype(np.float32))
+    valid = jnp.ones(pos.shape[:2], bool)
+    bi, bd = neighbors.knn(pos, pos, valid, valid, 8, radius=0.3)
+    gi, gd = neighbors.knn(pos, pos, valid, valid, 8, radius=0.3,
+                           cap_override=64, force_grid=True)
+    np.testing.assert_array_equal(np.sort(np.asarray(gi), axis=-1),
+                                  np.sort(np.asarray(bi), axis=-1))
+    # grid-tail distances carry the packed min-extraction's mantissa
+    # quantization (~2^-10 relative on d2, see ops/pallas_topk.py) — the
+    # neighbor SETS above are exact, distances are within that quantum
+    np.testing.assert_allclose(np.sort(np.asarray(gd), axis=-1),
+                               np.sort(np.asarray(bd), axis=-1),
+                               rtol=5e-3, atol=2e-3)
+
+
+def test_proven_grid_first_rule(monkeypatch):
+    """Dispatch rule: proven rows route grid-first only when the grid
+    bound covers every consumer and the candidate width wins."""
+    monkeypatch.setattr(neighbors.jax, "default_backend", lambda: "tpu")
+    assert neighbors._proven_grid_first(11520, 0.1, 0.1, 64)
+    # grid bound doesn't cover the row's max consumer radius
+    assert not neighbors._proven_grid_first(11520, 0.3, 0.1, 64)
+    # candidate width too close to brute width
+    assert not neighbors._proven_grid_first(5760, 0.3, 0.3, 128)
+    assert not neighbors._proven_grid_first(4096, 0.1, 0.1, 64)
+    monkeypatch.setattr(neighbors.jax, "default_backend", lambda: "cpu")
+    assert not neighbors._proven_grid_first(11520, 0.1, 0.1, 64)
+
+
+def test_voxel_cell_occupancy_proof():
+    """The spec-level occupancy proof: exact sweep values, plus an
+    empirical check that voxel-downsampled points never exceed it."""
+    from curvecloudnet_tpu.models.base import _voxel_cell_occupancy
+    from curvecloudnet_tpu.ops.sampling import voxel_downsample
+
+    assert _voxel_cell_occupancy(0.1, 0.03) == 64
+    assert _voxel_cell_occupancy(0.1, 0.025) == 64
+    # the naive (floor(c/v)+1)^3 formula claims 64 here — alignment drift
+    # at ratio 3.9 actually reaches 5 voxels per axis
+    assert _voxel_cell_occupancy(0.39, 0.1) == 125
+
+    rng = np.random.default_rng(11)
+    pos = jnp.asarray(rng.uniform(0, 1.0, (1, 8192, 3)).astype(np.float32))
+    valid = jnp.ones((1, 8192), bool)
+    for cell, v in [(0.1, 0.03), (0.39, 0.1)]:
+        idx, kept = voxel_downsample(pos, valid, v, 8192)
+        p = np.asarray(jnp.take_along_axis(pos, idx[..., None], axis=1))[0]
+        p = p[np.asarray(kept)[0]]
+        cells = np.floor(p / cell).astype(np.int64)
+        key = (cells[:, 0] * 1_000_003 + cells[:, 1]) * 1_000_003 \
+            + cells[:, 2]
+        _, counts = np.unique(key, return_counts=True)
+        assert counts.max() <= _voxel_cell_occupancy(cell, v)

@@ -77,6 +77,41 @@ def test_group_reduce_matches_reference(aggr, k):
                                rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.parametrize("aggr", ["max", "attend"])
+def test_group_reduce_k_major_matches_query_major(aggr):
+    """Position-major inputs (h1 (B,K,M,C), mask (B,K,M)) == query-major:
+    the kernel compute is identical, only the caller-side transpose moves."""
+    h1, mask, aff, loc, att = _make(k=10)
+    want = pallas_group.fused_group_reduce(
+        h1, mask, aff, loc, att if aggr == "attend" else None,
+        aggr=aggr, interpret=True)
+    got = pallas_group.fused_group_reduce(
+        jnp.moveaxis(h1, 2, 1), mask, aff, loc,
+        att if aggr == "attend" else None,
+        aggr=aggr, interpret=True, k_major=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_window_slice_k_major_matches_transpose():
+    """curve1d k-major window gather == moveaxis of the query-major one."""
+    from curvecloudnet_tpu.ops import curve1d
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 64, 5), jnp.float32)
+    idx = jnp.asarray(rng.randint(0, 64, (2, 17)), jnp.int32)
+    qm = curve1d.window_slice(x, idx, 3)
+    km = curve1d.window_slice(x, idx, 3, k_major=True)
+    np.testing.assert_array_equal(np.asarray(km),
+                                  np.asarray(jnp.moveaxis(qm, 2, 1)))
+    # ascending k-major gather == inverse-interleave of the interleaved one
+    gi = curve1d.gather_window_features(x, idx, 3)
+    ga = curve1d.gather_window_features(x, idx, 3, k_major=True)
+    np.testing.assert_array_equal(
+        np.asarray(jnp.moveaxis(ga, 1, 2)),
+        np.asarray(curve1d.ascending_from_interleaved(
+            jnp.moveaxis(gi, -1, -2), 3)).swapaxes(-1, -2))
+
+
 def test_group_reduce_unaligned_k_and_m():
     # K=7 forces zero-padded planes; M=137 forces query padding
     h1, mask, aff, loc, att = _make(m=137, k=7)

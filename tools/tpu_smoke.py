@@ -227,6 +227,16 @@ def main():
             np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                        rtol=0.1, atol=0.1)
 
+            # k-major variant (position-major slab + separate 2D mask
+            # operand) must match the query-major kernel EXACTLY — same
+            # compute, different DMA layout
+            got_km = pallas_group.fused_group_reduce(
+                jnp.moveaxis(h1, 2, 1), mask, aff, loc,
+                att if aggr == "attend" else None,
+                aggr=aggr, k_major=True)
+            np.testing.assert_array_equal(np.asarray(got_km),
+                                          np.asarray(got))
+
     check("pallas_group fused MLP+aggregate", group_check)
 
     if FAILURES:
