@@ -112,28 +112,46 @@ def _group_conv(local_nn: MLP, attend_nn: Optional[MLP], step: StepSpec,
     msg = [x_j, (pos_j - pos_i)/r?] -> local_nn -> masked aggregation.
     ``fused_ctx=(module, spec, dims)`` enables the eval megakernel path.
     """
-    if x_src is not None:
-        # one packed row gather for (x_j, pos_j): bit-identical to the two
-        # separate gathers (positions ride as exact f32 bit-splits)
-        xj, pj = neighbors.gather_neighbors_with_pos(x_src, pos_src, nbr_idx)
-        rel = pj - pos_dst[:, :, None, :].astype(jnp.float32)
+    def build_msg(k_major: bool):
+        # k_major: the neighbor gather follows the index shape, so a
+        # transposed (B, K, M) index array makes the gather write the
+        # group kernel's position-major slab DIRECTLY (same row fetches;
+        # the int index transpose is ~K*M*4 bytes, vs relayouting the
+        # (M, K, C) feature slab after the fact)
+        idx = jnp.swapaxes(nbr_idx, 1, 2) if k_major else nbr_idx
+        dst = (pos_dst[:, None, :, :] if k_major
+               else pos_dst[:, :, None, :])
+        if x_src is not None:
+            # one packed row gather for (x_j, pos_j): bit-identical to the
+            # two separate gathers (positions ride as exact f32 bit-splits)
+            xj, pj = neighbors.gather_neighbors_with_pos(x_src, pos_src, idx)
+            rel = pj - dst.astype(jnp.float32)
+            if step.normalize_radius and step.radius:
+                rel = rel / step.radius
+            return jnp.concatenate([xj, rel.astype(xj.dtype)], axis=-1)
+        rel = neighbors.gather_neighbors(pos_src, idx) - dst
         if step.normalize_radius and step.radius:
             rel = rel / step.radius
-        msg = jnp.concatenate([xj, rel.astype(xj.dtype)], axis=-1)
-    else:
-        rel = (neighbors.gather_neighbors(pos_src, nbr_idx)
-               - pos_dst[:, :, None, :])
-        if step.normalize_radius and step.radius:
-            rel = rel / step.radius
-        msg = rel
+        return rel
+
     if fused_ctx is not None and not train:
         module, spec, dims = fused_ctx
+
+        def h1_km():
+            msg = build_msg(k_major=True)
+            b, k_, m_, c_ = msg.shape
+            # flatten at the gather output (free: contiguous) so layer 0
+            # runs as one plain matmul — see the sa-geo path
+            h1 = local_nn(msg.reshape(b, k_ * m_, c_), mask=None,
+                          train=False, upto=0)
+            return h1.reshape(b, k_, m_, -1)
+
         fused = _fused_group_eval(
-            module, spec, step, dims,
-            lambda: local_nn(msg, mask=nbr_mask, train=False, upto=0),
-            nbr_mask, act=local_nn.act, family="sa")
+            module, spec, step, dims, h1_km,
+            nbr_mask, act=local_nn.act, family="sa", k_major=True)
         if fused is not None:
             return fused
+    msg = build_msg(k_major=False)
     msg = local_nn(msg, mask=nbr_mask, train=train, bn_momentum=bn_momentum)
     logits = None
     if attend_nn is not None:
