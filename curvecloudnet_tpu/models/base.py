@@ -206,8 +206,9 @@ class CurveCloudNet(nn.Module):
         stale tracers into the next trace of this process).
         """
         from ..ops import neighbors as _nbrs
+        from ..ops import segments as _segs
 
-        with _nbrs.shared_knn_scope():
+        with _nbrs.shared_knn_scope(), _segs.memo_scope():
             return self._run_steps(spec, cloud, row_bounds, n_now,
                                    train=train, bn_momentum=bn_momentum,
                                    key=key)

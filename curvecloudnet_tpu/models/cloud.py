@@ -47,12 +47,22 @@ class Cloud(struct.PyTreeNode):
         return self.replace(x=x)
 
     def xyz_concat(self, with_xyz: bool) -> Optional[jax.Array]:
-        """[x, pos] concat used by most steps (reference e.g. dgcnn.py:108)."""
+        """[x, pos] concat used by most steps (reference e.g. dgcnn.py:108).
+
+        The xyz channels are cast to the FEATURE dtype before the concat:
+        with bf16 features, concatenating f32 positions silently promotes
+        the whole row to f32 (doubling every downstream neighbor-gather's
+        bytes), while every consumer is a compute-dtype matmul that casts
+        its input anyway — so pre-casting is bit-identical at the dots.
+        (Geometric uses of positions — rel vectors, distances — read
+        ``self.pos`` directly and stay exact f32.)
+        """
         if not with_xyz:
             return self.x
         if self.x is None:
             return self.pos
-        return jnp.concatenate([self.x, self.pos], axis=-1)
+        return jnp.concatenate([self.x, self.pos.astype(self.x.dtype)],
+                               axis=-1)
 
     def gather(self, idx: jax.Array, idx_valid: jax.Array) -> "Cloud":
         """Downsample to the given row indices (ascending per sample).

@@ -29,6 +29,42 @@ import jax.numpy as jnp
 PAD_CURVE_ID = jnp.int32(2**30)
 
 
+# Trace-scoped memo for the segmented-scan helpers below: several steps
+# consume the same row's curve structure (conv1d masks, sa-geo grouping,
+# fp-geo interpolation), and every associative scan lowers to a log-depth
+# chain of slices/pads (~hundreds of tiny ops per call at 36864).  The
+# model's __call__ enters the scope (models/base.py) so repeated calls on
+# the same (curve_id, valid[, x]) arrays return the already-traced value.
+# Keys hold the arrays themselves (identity-checked) — same lifetime
+# pattern as ops/neighbors shared_knn_scope.
+_MEMO: dict | None = None
+
+
+class memo_scope:
+    def __enter__(self):
+        global _MEMO
+        self._prev = _MEMO
+        _MEMO = {}
+        return self
+
+    def __exit__(self, *exc):
+        global _MEMO
+        _MEMO = self._prev
+        return False
+
+
+def _memo(name: str, fn, *arrays):
+    if _MEMO is None:
+        return fn()
+    key = (name,) + tuple(id(a) for a in arrays)
+    hit = _MEMO.get(key)
+    if hit is not None and all(h is a for h, a in zip(hit[0], arrays)):
+        return hit[1]
+    out = fn()
+    _MEMO[key] = (arrays, out)
+    return out
+
+
 def padded_curve_id(curve_id: jax.Array, valid: jax.Array) -> jax.Array:
     """curve_id with padding positions replaced by the PAD_CURVE_ID sentinel."""
     return jnp.where(valid, curve_id, PAD_CURVE_ID)
@@ -40,13 +76,16 @@ def curve_starts(curve_id: jax.Array, valid: jax.Array) -> jax.Array:
     Padding positions are each treated as their own (degenerate) segment so
     scans never leak values from the last real curve into padding.
     """
-    cid = padded_curve_id(curve_id, valid)
-    prev = jnp.roll(cid, 1, axis=-1)
-    starts = cid != prev
-    # position 0 always starts a segment
-    starts = starts.at[..., 0].set(True)
-    # every padding slot is its own segment
-    return starts | ~valid
+    def build():
+        cid = padded_curve_id(curve_id, valid)
+        prev = jnp.roll(cid, 1, axis=-1)
+        starts = cid != prev
+        # position 0 always starts a segment
+        starts = starts.at[..., 0].set(True)
+        # every padding slot is its own segment
+        return starts | ~valid
+
+    return _memo("starts", build, curve_id, valid)
 
 
 def curve_ends(curve_id: jax.Array, valid: jax.Array) -> jax.Array:
@@ -117,18 +156,26 @@ def segment_broadcast_last(x: jax.Array, ends: jax.Array) -> jax.Array:
 
 def curve_start_index(curve_id: jax.Array, valid: jax.Array) -> jax.Array:
     """(B, N) int32 — index (along N) of the first point of each point's curve."""
-    n = curve_id.shape[-1]
-    iota = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), curve_id.shape)
-    starts = curve_starts(curve_id, valid)
-    return segment_broadcast_first(iota, starts)
+    def build():
+        n = curve_id.shape[-1]
+        iota = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32),
+                                curve_id.shape)
+        starts = curve_starts(curve_id, valid)
+        return segment_broadcast_first(iota, starts)
+
+    return _memo("start_index", build, curve_id, valid)
 
 
 def curve_end_index(curve_id: jax.Array, valid: jax.Array) -> jax.Array:
     """(B, N) int32 — index (along N) of the last point of each point's curve."""
-    n = curve_id.shape[-1]
-    iota = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), curve_id.shape)
-    ends = curve_ends(curve_id, valid)
-    return segment_broadcast_last(iota, ends)
+    def build():
+        n = curve_id.shape[-1]
+        iota = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32),
+                                curve_id.shape)
+        ends = curve_ends(curve_id, valid)
+        return segment_broadcast_last(iota, ends)
+
+    return _memo("end_index", build, curve_id, valid)
 
 
 def edge_lengths(pos: jax.Array, curve_id: jax.Array,
@@ -153,9 +200,12 @@ def geodesic_arclength(pos: jax.Array, curve_id: jax.Array,
     Parallel of the reference's geodesic-length computation (fps_ops.py:24-27)
     done as one segmented cumsum instead of pointer gathers.
     """
-    lens = edge_lengths(pos, curve_id, valid)
-    starts = curve_starts(curve_id, valid)
-    return segmented_cumsum(lens, starts)
+    def build():
+        lens = edge_lengths(pos, curve_id, valid)
+        starts = curve_starts(curve_id, valid)
+        return segmented_cumsum(lens, starts)
+
+    return _memo("arclength", build, pos, curve_id, valid)
 
 
 def per_curve_total(x: jax.Array, curve_id: jax.Array,
@@ -169,8 +219,11 @@ def per_curve_total(x: jax.Array, curve_id: jax.Array,
 
 def points_per_curve(curve_id: jax.Array, valid: jax.Array) -> jax.Array:
     """(B, N) — per point, the number of valid points on its curve."""
-    ones = valid.astype(jnp.float32)
-    return per_curve_total(ones, curve_id, valid)
+    def build():
+        ones = valid.astype(jnp.float32)
+        return per_curve_total(ones, curve_id, valid)
+
+    return _memo("points_per_curve", build, curve_id, valid)
 
 
 def lengths_from_valid(valid: jax.Array) -> jax.Array:
