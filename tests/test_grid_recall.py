@@ -82,6 +82,38 @@ def test_grid_recall_at_operating_points(n_row, stage, radius, k):
     assert r > 0.95, f"recall {r:.4f} at {stage} row {n_row} r={radius} k={k}"
 
 
+def test_proven_grid_recall_is_exact_at_flagship_row():
+    """The proven-cap grid route (nuScenes 11520 row: voxel 0.03, grid
+    bound 0.1, cap 64 from the exact occupancy sweep) must be EXACT, not
+    merely >0.95 — the spec-level proof says no cell can truncate."""
+    pos, valid = _row_points(11520, "voxel", seed=2)
+    rng = np.random.default_rng(5)
+    nv = int(np.asarray(valid).sum())
+    qsel = np.sort(rng.choice(nv, 768, replace=False))
+    q = pos[:, qsel]
+    qv = jnp.ones((1, 768), bool)
+    gi, _ = grid_knn(q, pos, qv, valid, 32, 0.1, cap=64, overflow_planes=2)
+    bi, bd = neighbors.knn(q, pos, qv, valid, 32, radius=0.1)
+    g, b = np.asarray(gi)[0], np.asarray(bi)[0]
+    bdn = np.asarray(bd)[0]
+    p = np.asarray(pos)[0]
+    qn = np.asarray(q)[0]
+    for i in range(g.shape[0]):
+        exact = set(b[i][b[i] >= 0].tolist())
+        got = set(g[i][g[i] >= 0].tolist())
+        missing = exact - got
+        # the ONLY allowed divergence is a tie at the k-th boundary
+        # reordered by the extraction's distance quantization (~2^-10
+        # relative on d2): any missing neighbor must sit within that
+        # quantum of the k-th kept distance — a capacity truncation
+        # (the thing the occupancy proof forbids) would sit far inside
+        kth = bdn[i][b[i] >= 0].max() if exact else 0.0
+        for m in missing:
+            d = np.linalg.norm(p[m] - qn[i])
+            assert d >= kth * (1 - 4e-3), \
+                f"query {i}: idx {m} at {d:.6f} < kth {kth:.6f} dropped"
+
+
 def test_dispatch_routes_small_rows_to_exact(monkeypatch):
     """Mid-size rows route to measured-lossless backends only: small radii
     to the 8-stencil grid (cap 192 >= measured max 2r-cell occupancy),
