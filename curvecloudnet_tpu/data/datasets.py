@@ -246,11 +246,15 @@ def batch_iterator(dataset: CurveDataset, batch_size: int,
 
 
 @functools.lru_cache(maxsize=8)
-def _unpack_batch_fn(n_feat: int):
+def _unpack_batch_fn(n_feat: int, row_labels: bool):
     """Jitted splitter for the packed (B, N, R) host->device buffer.
 
     One jit call = one dispatch; int fields ride as f32 bitcasts (the
-    transfer and the split move bytes, never arithmetic)."""
+    transfer and the split move bytes, never arithmetic).  Channel
+    layout: pos(3) | feat(n_feat) | cid | valid | labels-per-point (when
+    ``row_labels``) else labels-broadcast | category-broadcast — the two
+    scalar fields ride as broadcast channels so NO per-scan field needs
+    its own transfer RPC."""
     import jax
     import jax.numpy as jnp
 
@@ -261,9 +265,10 @@ def _unpack_batch_fn(n_feat: int):
         c = 3 + n_feat
         cid = jax.lax.bitcast_convert_type(buf[..., c], jnp.int32)
         valid = buf[..., c + 1] > 0.5
-        labels = (jax.lax.bitcast_convert_type(buf[..., c + 2], jnp.int32)
-                  if buf.shape[-1] > c + 2 else None)
-        return pos, feat, cid, valid, labels
+        labels = jax.lax.bitcast_convert_type(
+            buf[..., c + 2] if row_labels else buf[:, 0, c + 2], jnp.int32)
+        cats = jax.lax.bitcast_convert_type(buf[:, 0, c + 3], jnp.int32)
+        return pos, feat, cid, valid, labels, cats
 
     return unpack
 
@@ -283,19 +288,30 @@ def to_device_batch(np_batch: Dict[str, np.ndarray], task: str):
 
     np_batch = {k: v for k, v in np_batch.items() if k != "_meta"}
     pos = np.asarray(np_batch["pos"], np.float32)
+    b, n = pos.shape[:2]
     feat = (np.asarray(np_batch["feat"], np.float32)
             if "feat" in np_batch else None)
     n_feat = 0 if feat is None else feat.shape[-1]
     labels = np.asarray(np_batch["labels"], np.int32)
-    row_labels = labels.ndim == 2 and labels.shape[1] == pos.shape[1]
+    row_labels = labels.ndim == 2 and labels.shape[1] == n
+    cats = np.asarray(np_batch["category"], np.int32)
+
+    def scalar_col(v):  # (B,) int -> (B, N, 1) broadcast channel
+        return np.broadcast_to(
+            v.view(np.float32)[:, None, None], (b, n, 1))
+
     cols = [pos] + ([feat] if feat is not None else []) + [
         np.asarray(np_batch["curve_id"], np.int32).view(np.float32)[..., None],
         np_batch["valid"].astype(np.float32)[..., None],
-    ] + ([labels.view(np.float32)[..., None]] if row_labels else [])
+        (labels.view(np.float32)[..., None] if row_labels
+         else scalar_col(labels.reshape(b))),
+        scalar_col(cats),
+    ]
     buf = jnp.asarray(np.concatenate(cols, axis=-1))
-    d_pos, d_feat, d_cid, d_valid, d_labels = _unpack_batch_fn(n_feat)(buf)
+    d_pos, d_feat, d_cid, d_valid, d_labels, d_cats = \
+        _unpack_batch_fn(n_feat, row_labels)(buf)
     return Batch(
         cloud=cloud_from_arrays(d_pos, d_cid, d_valid, d_feat),
-        labels=d_labels if row_labels else jnp.asarray(labels),
-        categories=jnp.asarray(np_batch["category"]),
+        labels=d_labels,
+        categories=d_cats,
     )

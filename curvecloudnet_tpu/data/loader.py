@@ -100,14 +100,24 @@ class PrefetchLoader:
                     bi, idxs = task_q.get_nowait()
                 except queue.Empty:
                     return
-                raw = [self.dataset.get(int(i), rng=rng,
-                                        augment=self.augment) for i in idxs]
-                samples = [pad_sample(s, self.dataset.n_pad) for s in raw]
-                batch = {k: np.stack([s[k] for s in samples])
-                         for k in samples[0]}
-                metas = [getattr(s, "meta", None) for s in raw]
-                if any(m is not None for m in metas):
-                    batch["_meta"] = metas
+                # a worker exception must surface in the consumer, not
+                # kill the daemon thread silently (the consumer would
+                # otherwise spin forever waiting for results[bi])
+                try:
+                    raw = [self.dataset.get(int(i), rng=rng,
+                                            augment=self.augment)
+                           for i in idxs]
+                    samples = [pad_sample(s, self.dataset.n_pad)
+                               for s in raw]
+                    batch = {k: np.stack([s[k] for s in samples])
+                             for k in samples[0]}
+                    metas = [getattr(s, "meta", None) for s in raw]
+                    if any(m is not None for m in metas):
+                        batch["_meta"] = metas
+                except BaseException as e:  # noqa: BLE001
+                    with lock:
+                        results[bi] = e
+                    return
                 with lock:
                     results[bi] = batch
 
@@ -120,9 +130,12 @@ class PrefetchLoader:
                 while True:
                     with lock:
                         if bi in results:
-                            yield results.pop(bi)
+                            got = results.pop(bi)
                             break
                     threading.Event().wait(0.002)
+                if isinstance(got, BaseException):
+                    raise got
+                yield got
         finally:
             stop.set()
             for t in threads:

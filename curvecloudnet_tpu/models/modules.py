@@ -633,14 +633,23 @@ class EdgeConvStep(nn.Module):
                  key=None) -> Cloud:
         step = self.step
         x = cloud.xyz_concat(step.with_xyz)
+        if step.name in ("dgcnn", "dgcnn-rad"):
+            # the dynamic-graph SEARCH runs in feature space where the xyz
+            # channels are coordinates, not matmul inputs — keep them f32
+            # there (xyz_concat pre-casts to the compute dtype for the
+            # matmul consumers; bf16 coordinates would misorder near-tie
+            # neighbors and flip radius-boundary membership)
+            xs = (x if not step.with_xyz or cloud.x is None
+                  else jnp.concatenate(
+                      [cloud.x.astype(jnp.float32), cloud.pos], axis=-1))
         if step.name == "dgcnn":
-            nbr_idx, _ = neighbors.knn(x, x, cloud.valid, cloud.valid,
+            nbr_idx, _ = neighbors.knn(xs, xs, cloud.valid, cloud.valid,
                                        step.knn)
         elif step.name == "dgcnn-rad":
             # radius query in FEATURE space (DynamicEdgeConv use_knn=False,
             # reference dgcnn.py:81-84,113-126)
-            nbr_idx, _ = neighbors.ball_query(x, x, cloud.valid, cloud.valid,
-                                              step.radius, 128)
+            nbr_idx, _ = neighbors.ball_query(xs, xs, cloud.valid,
+                                              cloud.valid, step.radius, 128)
         else:  # sgcnn
             if step.use_sparse_feat_agg:
                 # slow path: exact kNN, no radius cap (dgcnn.py:209-225)

@@ -40,6 +40,10 @@ bigger rank sort (3N entries; ~400k rows at KITTI) plus the +14% wider
 extraction (11*3cap vs 29*cap planes) outweigh the saved gathers — the
 plane gathers were already amortized across k-extraction rounds.  Kept
 behind ``strip=3`` / env ``CCN_GRID_STRIP=3`` so the A/B stays runnable.
+KNOWN strip-mode caveat: a point whose cell x clips at the coordinate
+boundary lands twice in ONE strip row (offsets -1 and 0 both clip to
+strip 0), an intra-row duplicate the per-query row dedup below cannot
+see — another reason the layout stays off-path.
 
 Hash collisions are harmless for correctness: colliding far cells' points
 fail the radius test; colliding near cells' points are genuine in-radius
@@ -178,9 +182,10 @@ def grid_knn_single(query, points, q_valid, p_valid, k: int, radius: float,
     fill = jnp.repeat(jnp.array([_INF, _INF, _INF, neg1], jnp.float32),
                       cap_row)
     # rows: [0, nbuckets) cells, nbuckets = parked invalid/overflowed,
-    # (nbuckets, nbuckets+overflow_planes] shared overflow rows
+    # (nbuckets, nbuckets+overflow_planes] shared overflow rows, and one
+    # final always-fill row that deduplicated stencil fetches point at
     table = jnp.broadcast_to(
-        fill[None, :], (nbuckets + 1 + overflow_planes, cap_row * 4))
+        fill[None, :], (nbuckets + 2 + overflow_planes, cap_row * 4))
     keep = (rank < cap_row) & p_valid
     safe_bucket = jnp.where(keep, bucket, nbuckets)
     safe_rank = jnp.where(keep, rank, 0)
@@ -215,6 +220,20 @@ def grid_knn_single(query, points, q_valid, p_valid, k: int, radius: float,
         offs = _NEIGHBOR_OFFSETS8
     nbr_coords = jnp.clip(qc[:, None, :] + offs[None, :, :], 0, _MASK)
     nbr_buckets = _hash(_pack(nbr_coords), hash_bits)  # (Q, n_stencil_rows)
+    # Dedup a query's hash-colliding stencil rows: two distinct stencil
+    # cells hashing to one bucket (or coordinate-clipped to the same
+    # cell) would fetch the SAME table row twice, and the extraction
+    # counts slot positions, not point ids — a duplicated in-radius point
+    # could occupy two of the k output slots and evict a genuine
+    # neighbor.  Duplicates repoint to a dedicated always-fill row (the
+    # parked-invalid row nbuckets is NOT safe: over-cap/invalid points
+    # overwrite its slot 0 with real records).
+    s_ = nbr_buckets.shape[1]
+    eq = nbr_buckets[:, :, None] == nbr_buckets[:, None, :]  # (Q, S, S)
+    tri = np.tril(np.ones((s_, s_), bool), -1)
+    dup = jnp.any(eq & tri[None], axis=-1)
+    fill_row = nbuckets + 1 + overflow_planes
+    nbr_buckets = jnp.where(dup, fill_row, nbr_buckets)
     q_ = query.shape[0]
     if overflow_planes > 0:
         ovf_rows = jnp.broadcast_to(

@@ -399,19 +399,21 @@ def evaluate_part_segmentation(model, variables, dataset,
     loader = PrefetchLoader(dataset, batch_size, shuffle=False,
                             drop_last=False, num_workers=2, prefetch=2,
                             shard_by_process=False)
+    # stage the identity view once — every fresh jnp.asarray in the loop
+    # is a host->device RPC through the tunnel (evaluate_segmentation's
+    # views_dev pattern)
+    flip_dev, scale_dev = jnp.asarray(TTA_FLIPS[0]), jnp.asarray(TTA_SCALES[0])
     pending = None
     for bi, np_batch in enumerate(loader.epoch(0)):
         if max_batches is not None and bi >= max_batches:
             break
+        labels_np = np.asarray(np_batch["labels"])
         batch = to_device_batch(np_batch, task_info.task)
-        logits, out_valid = fwd(variables, batch.cloud,
-                                jnp.asarray(TTA_FLIPS[0]),
-                                jnp.asarray(TTA_SCALES[0]),
+        logits, out_valid = fwd(variables, batch.cloud, flip_dev, scale_dev,
                                 batch.categories)
         if pending is not None:
             consume(pending)
-        pending = (logits, out_valid, np.asarray(batch.labels),
-                   batch.categories)
+        pending = (logits, out_valid, labels_np, batch.categories)
     if pending is not None:
         consume(pending)
     cat_miou = float(np.mean([np.mean(v) for v in per_cat.values()]))
@@ -436,6 +438,7 @@ def evaluate_classification(model, variables, dataset, task_info: TaskInfo,
     loader = PrefetchLoader(dataset, batch_size, shuffle=False,
                             drop_last=False, num_workers=2, prefetch=2,
                             shard_by_process=False)
+    flip_dev, scale_dev = jnp.asarray(TTA_FLIPS[0]), jnp.asarray(TTA_SCALES[0])
     pending = None
 
     def consume(entry):
@@ -446,13 +449,12 @@ def evaluate_classification(model, variables, dataset, task_info: TaskInfo,
     for bi, np_batch in enumerate(loader.epoch(0)):
         if max_batches is not None and bi >= max_batches:
             break
+        labels_np = np.asarray(np_batch["labels"])
         batch = to_device_batch(np_batch, task_info.task)
-        logits, _ = fwd(variables, batch.cloud, jnp.asarray(TTA_FLIPS[0]),
-                        jnp.asarray(TTA_SCALES[0]))
+        logits, _ = fwd(variables, batch.cloud, flip_dev, scale_dev)
         if pending is not None:
             consume(pending)
-        pending = (jnp.argmax(logits[:, 0, :], axis=-1),
-                   np.asarray(batch.labels))
+        pending = (jnp.argmax(logits[:, 0, :], axis=-1), labels_np)
     if pending is not None:
         consume(pending)
     acc, bal = M.confmat2acc(confmat)

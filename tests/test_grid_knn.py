@@ -127,3 +127,36 @@ def test_grid_topk_records_kernel_matches_xla_tail(rng, variant,
                                atol=1e-5)
     match = (gi[finite] == want_i[finite]).mean()
     assert match > 0.95, f"index agreement {match}"
+
+
+def test_colliding_stencil_rows_do_not_duplicate_candidates():
+    """Force heavy stencil-bucket hash collisions (tiny hash table) with a
+    cap large enough that no row truncates: the grid must still return
+    exactly the brute neighbor sets.  Without the per-query row dedup, a
+    collision fetches the same table row twice and its points occupy two
+    top-k slots, evicting genuine neighbors."""
+    import numpy as np
+    from curvecloudnet_tpu.ops import neighbors
+    from curvecloudnet_tpu.ops.grid_knn import grid_knn
+
+    rng = np.random.default_rng(7)
+    pos = jnp.asarray(rng.uniform(-1, 1, (1, 512, 3)).astype(np.float32))
+    valid = jnp.ones((1, 512), bool)
+    # hash_bits=4 -> 16 buckets for 27 stencil cells: collisions certain
+    gi, _ = grid_knn(pos, pos, valid, valid, 8, 0.4, cap=512,
+                     hash_bits=4, overflow_planes=0)
+    bi, bd = neighbors.knn(pos, pos, valid, valid, 8, radius=0.4)
+    g, b = np.asarray(gi)[0], np.asarray(bi)[0]
+    p = np.asarray(pos)[0]
+    bdn = np.asarray(bd)[0]
+    for i in range(g.shape[0]):
+        exact = set(b[i][b[i] >= 0].tolist())
+        got = set(g[i][g[i] >= 0].tolist())
+        # only near-ties at the k-th boundary may differ (the two methods
+        # compute d2 via different FP paths: q2+p2-2qp vs direct diffs);
+        # a duplicate-eviction would drop a neighbor strictly inside
+        kth = bdn[i][b[i] >= 0].max() if exact else 0.0
+        for m in exact - got:
+            d = np.linalg.norm(p[m] - p[i])
+            assert d >= kth * (1 - 1e-4), \
+                f"query {i}: idx {m} at {d:.6f} < kth {kth:.6f} evicted"

@@ -85,3 +85,25 @@ def test_driver_distributed_entry(monkeypatch):
     calls.clear()
     assert init_distributed_from_config({}) == 0
     assert calls == []
+
+
+def test_worker_exception_surfaces_instead_of_hanging():
+    """A dataset.get failure inside a worker thread must raise in the
+    consumer (previously it killed the daemon thread silently and the
+    epoch iterator spun forever)."""
+    from curvecloudnet_tpu.data.loader import PrefetchLoader
+
+    class Broken:
+        n_pad = 16
+
+        def __len__(self):
+            return 4
+
+        def get(self, i, rng=None, augment=False):
+            raise ValueError("corrupt sample")
+
+    loader = PrefetchLoader(Broken(), 2, shuffle=False, num_workers=2,
+                            shard_by_process=False)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="corrupt sample"):
+        list(loader.epoch(0))
