@@ -73,7 +73,13 @@ class PrefetchLoader:
             per = self._shard_len()
             pad = per * jax.process_count() - len(order)
             if pad:
-                order = np.concatenate([order, order[:pad]])
+                # wrap-pad may need MULTIPLE repetitions when the dataset
+                # is smaller than the process count (pad > len(order)) —
+                # a short concat would leave later processes with empty
+                # shards and deadlock the lockstep epoch
+                reps = 1 + (-(-pad // len(order)))
+                order = np.concatenate([order] * reps)[
+                    :per * jax.process_count()]
             p = jax.process_index()
             order = order[p * per:(p + 1) * per]
         stop = (len(order) - self.batch_size + 1 if self.drop_last

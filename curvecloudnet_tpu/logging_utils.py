@@ -69,6 +69,13 @@ class MetricLogger:
             elif isinstance(obj, np.ndarray) or hasattr(obj, "savefig") \
                     or isinstance(obj, str):
                 self._wandb.log({name: w.Image(obj)}, step=step)
+                if hasattr(obj, "savefig"):
+                    try:
+                        import matplotlib.pyplot as plt
+
+                        plt.close(obj)
+                    except Exception:  # noqa: BLE001
+                        pass
             return
         if not self.outdir:
             return
@@ -84,6 +91,15 @@ class MetricLogger:
         elif hasattr(obj, "savefig"):
             path = os.path.join(media, tag + ".png")
             obj.savefig(path, dpi=150)
+            # ownership transfers here: callers pass open figures (e.g.
+            # plot_confusion(path=None)); without a close they accumulate
+            # for the process lifetime (one leaked canvas per eval epoch)
+            try:
+                import matplotlib.pyplot as plt
+
+                plt.close(obj)
+            except Exception:  # noqa: BLE001 — non-matplotlib savefig duck
+                pass
         elif isinstance(obj, np.ndarray):
             import matplotlib
 

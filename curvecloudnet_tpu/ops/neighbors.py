@@ -186,10 +186,16 @@ def knn(query: jax.Array, points: jax.Array, q_valid: jax.Array,
         # overflow instead of silently truncating.  cap_override carries a
         # spec-PROVEN occupancy bound (voxel-produced rows) that shrinks
         # the table rows below the generic measured cap.
+        # proven-cap tables run with TIGHT caps (zero headroom by design),
+        # so hash collisions merging two near-full cells into one row are
+        # the remaining spill source; +2 hash bits cuts occupied-cell
+        # collision pairs 4x for a transient table-memory cost only
+        hb = (min(18, grid_mod.default_hash_bits(points.shape[1]) + 2)
+              if cap_override else None)
         return grid_mod.grid_knn(query, points, q_valid, p_valid, k,
                                  radius=float(radius),
                                  cap=cap_override or grid_cap(k),
-                                 overflow_planes=2)
+                                 hash_bits=hb, overflow_planes=2)
     if backend == "pallas":
         from . import pallas_knn
 
@@ -435,8 +441,11 @@ def subset_knn(pos, valid, sub_idx, sub_valid, k: int,
             gr = _grid_table_radius(radius, grid_bound)
             table = _grid_row_table(pos, valid, gr,
                                     grid_cap if gr == grid_bound else None)
-            if gr == radius:
-                radius = None  # the grid table is already radius-filtered
+            if table is not None and gr == radius:
+                # only drop the radius filter once the radius-filtered
+                # grid table is actually in hand — otherwise the direct
+                # fallback below must still run radius-bounded
+                radius = None
         if table is not None:
             idx, dist = table
             idx = jnp.take_along_axis(idx, sub_idx[..., None], axis=1)

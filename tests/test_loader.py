@@ -107,3 +107,29 @@ def test_worker_exception_surfaces_instead_of_hanging():
     import pytest as _pytest
     with _pytest.raises(ValueError, match="corrupt sample"):
         list(loader.epoch(0))
+
+
+def test_wrap_pad_covers_more_processes_than_samples(monkeypatch):
+    """len(dataset) < process_count must still give every process a
+    full-length shard (short shards deadlock lockstep SPMD epochs)."""
+    from curvecloudnet_tpu.data import loader as loader_mod
+    from curvecloudnet_tpu.data.loader import PrefetchLoader
+    from curvecloudnet_tpu.parallel import mesh as mesh_mod
+
+    class Tiny:
+        n_pad = 8
+
+        def __len__(self):
+            return 4
+
+    monkeypatch.setattr(mesh_mod.jax, "process_count", lambda: 16)
+    for p in range(16):
+        monkeypatch.setattr(mesh_mod.jax, "process_index", lambda p=p: p)
+        import jax as _jax
+        monkeypatch.setattr(_jax, "process_count", lambda: 16)
+        monkeypatch.setattr(_jax, "process_index", lambda p=p: p)
+        ld = PrefetchLoader(Tiny(), 1, shuffle=False, num_workers=1)
+        idxs = [list(ix) for ix in ld._batch_indices(0)]
+        assert len(idxs) == len(ld), (p, idxs)
+        assert all(len(b) == 1 for b in idxs)
+        assert all(0 <= b[0] < 4 for b in idxs)
