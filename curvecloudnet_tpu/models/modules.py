@@ -685,24 +685,35 @@ class EdgeConvStep(nn.Module):
                      and (split_env == "force"
                           or jax.default_backend() not in ("cpu",)))
         if use_split:
-            def first_map(dense):
+            def _split_uv(dense):
                 zeros = jnp.zeros_like(x)
                 b_only = dense(jnp.zeros((1, 1, 2 * x.shape[-1]), x.dtype))
                 d_pm = dense(jnp.concatenate([x, -x], axis=-1))
                 d_0x = dense(jnp.concatenate([zeros, x], axis=-1))
                 if fast_order:
-                    u, v = d_pm - b_only, d_0x
-                else:
-                    u, v = d_0x - b_only, d_pm
+                    return d_pm - b_only, d_0x
+                return d_0x - b_only, d_pm
+
+            def first_map(dense):
+                u, v = _split_uv(dense)
                 return (neighbors.gather_neighbors(u, nbr_idx)
                         + v[:, :, None, :])
 
             if not train:
+                def first_map_km(dense):
+                    # k-major slab for the group megakernel: the gather
+                    # follows the transposed index shape (see _group_conv)
+                    u, v = _split_uv(dense)
+                    return (neighbors.gather_neighbors(
+                        u, jnp.swapaxes(nbr_idx, 1, 2))
+                        + v[:, None, :, :])
+
                 fused = _fused_group_eval(
                     self, self.spec, step, self.dims,
                     lambda: local_nn(None, mask=nbr_mask, train=False,
-                                     first_map=first_map, upto=0),
-                    nbr_mask, act=local_nn.act, family="edge")
+                                     first_map=first_map_km, upto=0),
+                    nbr_mask, act=local_nn.act, family="edge",
+                    k_major=True)
                 if fused is not None:
                     return cloud.with_features(
                         fused * cloud.valid[..., None])
