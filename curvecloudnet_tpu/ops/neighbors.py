@@ -189,9 +189,16 @@ def knn(query: jax.Array, points: jax.Array, q_valid: jax.Array,
         # proven-cap tables run with TIGHT caps (zero headroom by design),
         # so hash collisions merging two near-full cells into one row are
         # the remaining spill source; +2 hash bits cuts occupied-cell
-        # collision pairs 4x for a transient table-memory cost only
-        hb = (min(18, grid_mod.default_hash_bits(points.shape[1]) + 2)
-              if cap_override else None)
+        # collision pairs 4x.  ONLY for small rows: the bump is neutral at
+        # the flagship 11520 row (2^16-row table), but at the KITTI 36864
+        # row the 2^18 table (268MB) destroyed the plane gathers' DRAM
+        # page locality (6.5 -> 18.6 ms measured) — larger rows keep the
+        # default bits and rely on the 2 overflow planes + drop telemetry,
+        # the same posture every unproven grid row runs with.
+        hb = None
+        if cap_override:
+            hb = grid_mod.default_hash_bits(points.shape[1])
+            hb = hb + 2 if hb + 2 <= 16 else hb
         return grid_mod.grid_knn(query, points, q_valid, p_valid, k,
                                  radius=float(radius),
                                  cap=cap_override or grid_cap(k),
