@@ -78,14 +78,18 @@ _NEIGHBOR_OFFSETS_YZ = np.array(
 
 
 def default_hash_bits(n: int) -> int:
-    """Bucket-table size ~n: big enough that occupied-cell collisions are
-    rare (cells ~n/10 at 2r occupancy), small enough that the table fill
-    write is negligible (2^15 x cap 192 records = 100MB vs 805MB at the
-    old fixed 2^18)."""
+    """Bucket-table size ~n/8: the plane gathers are DRAM-page-locality
+    bound, so SMALLER tables fetch faster at identical row counts —
+    v5e sweep at the KITTI 73728 r=0.04 cap=192 table
+    (tools/grid_bits_ab.py): bits 17 -> 14 is 85.7 -> 59.1 ms (-31%)
+    with IDENTICAL result sets.  More cells per bucket share one cap
+    budget, but the caps are sized from measured occupancy with 2 shared
+    overflow planes + drop telemetry behind them, and the recall suite
+    (tests/test_grid_recall.py) pins the floors at these defaults."""
     bits = 1
     while (1 << bits) < n:
         bits += 1
-    return min(18, max(13, bits))
+    return min(18, max(13, bits - 3))
 
 
 def _cell_coords(pos: jax.Array, cell: float) -> jax.Array:
