@@ -106,6 +106,38 @@ def _hash(cell_id: jax.Array, hash_bits: int) -> jax.Array:
     return (h >> (32 - hash_bits)).astype(jnp.int32)
 
 
+def _bucket(coords: jax.Array, hash_bits: int) -> jax.Array:
+    """Cell coords (..., 3) -> bucket row index.
+
+    Default: multiplicative hash of the packed id (decorrelated, random
+    row placement).  CCN_GRID_HASH=morton (measured NEUTRAL, off):
+    the LOW 3 bits per axis are Morton-interleaved into the bucket's low
+    9 bits and the BLOCK coords (cells >> 3) are hashed into the high
+    bits, so a query's stencil lands on adjacent table rows.  At the
+    post-locality table sizes (bits 13-14, 25-50MB) this no longer moves
+    anything: 58.5 vs 58.6 ms at the 73728 r=0.04 cap=192 case — the
+    small random-hash table already page-hits; adjacency pays only when
+    the table is large, where shrinking it is the better fix.  Collisions
+    in either scheme are harmless for exactness (radius test) and share
+    cap budgets identically.
+    """
+    import os
+
+    if os.environ.get("CCN_GRID_HASH", "hash") != "morton" or hash_bits < 10:
+        return _hash(_pack(coords), hash_bits)
+    m = 9
+    cx, cy, cz = coords[..., 0], coords[..., 1], coords[..., 2]
+    low = jnp.zeros(cx.shape, jnp.int32)
+    for bit in range(3):
+        low = (low
+               | (((cx >> bit) & 1) << (3 * bit + 2))
+               | (((cy >> bit) & 1) << (3 * bit + 1))
+               | (((cz >> bit) & 1) << (3 * bit)))
+    block = _pack(coords >> 3)
+    high = _hash(block, hash_bits - m)
+    return (high << m) | low
+
+
 def grid_knn_single(query, points, q_valid, p_valid, k: int, radius: float,
                     cap: int = 16, stencil: int = 27,
                     hash_bits: int | None = None, overflow_planes: int = 0,
@@ -141,10 +173,10 @@ def grid_knn_single(query, points, q_valid, p_valid, k: int, radius: float,
         # 3-cell x coverage includes its cell
         offs_x = np.array([[-1, 0, 0], [0, 0, 0], [1, 0, 0]], np.int32)
         sc = jnp.clip(cc[None, :, :] + offs_x[:, None, :], 0, _MASK)
-        bucket = _hash(_pack(sc), hash_bits).reshape(-1)     # (3N,)
+        bucket = _bucket(sc, hash_bits).reshape(-1)          # (3N,)
         p_valid = jnp.tile(p_valid, strip)
     else:
-        bucket = _hash(_pack(cc), hash_bits)
+        bucket = _bucket(cc, hash_bits)
     m = n * strip
     cap_row = cap * strip
     bucket = jnp.where(p_valid, bucket, nbuckets)  # park invalid
@@ -223,7 +255,7 @@ def grid_knn_single(query, points, q_valid, p_valid, k: int, radius: float,
         qc = _cell_coords(query - radius, cell)
         offs = _NEIGHBOR_OFFSETS8
     nbr_coords = jnp.clip(qc[:, None, :] + offs[None, :, :], 0, _MASK)
-    nbr_buckets = _hash(_pack(nbr_coords), hash_bits)  # (Q, n_stencil_rows)
+    nbr_buckets = _bucket(nbr_coords, hash_bits)  # (Q, n_stencil_rows)
     # Dedup a query's hash-colliding stencil rows: two distinct stencil
     # cells hashing to one bucket (or coordinate-clipped to the same
     # cell) would fetch the SAME table row twice, and the extraction
