@@ -18,7 +18,15 @@ import numpy as np
 
 from .datasets import CurveDataset, Sample
 
-LABEL_IDS = {}  # populated from each capture's info.json object-class
+# Fixed 16-class ShapeNet category mapping (reference
+# generate_kortx.py:13-15) — Kortx captures must use the SAME ids the
+# ShapeNet-trained conditioning head was trained with; assigning ids in
+# directory-encounter order would feed every sample the wrong category
+# channel.  Classes outside this list append after 15 (logged).
+CATEGORY_NAMES = ['airplane', 'bag', 'cap', 'car', 'chair', 'earphone',
+                  'guitar', 'knife', 'lamp', 'laptop', 'motorbike', 'mug',
+                  'pistol', 'rocket', 'skateboard', 'table']
+LABEL_IDS = {name: i for i, name in enumerate(CATEGORY_NAMES)}
 
 
 def fix_curve_idxs(curve_idxs: np.ndarray) -> np.ndarray:
@@ -50,7 +58,10 @@ def preprocess_kortx(data_path: str, outdir: str, n_points: int = 2048,
         with open(info_p) as f:
             info = json.load(f)
         cls = info["object-class"]
-        label_ids.setdefault(cls, len(label_ids))
+        if cls not in label_ids:
+            print(f"[kortx] WARNING: class {cls!r} outside the fixed "
+                  f"ShapeNet-16 mapping; appending id {len(label_ids)}")
+            label_ids[cls] = len(label_ids)
         capture = info.get("capture-setting", "table")
         for fname in sorted(os.listdir(inst)):
             if not fname.endswith(".csv") or "background" in fname:

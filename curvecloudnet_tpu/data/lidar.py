@@ -246,7 +246,7 @@ class SemKITTI(CurveDataset):
     def get(self, idx, rng=None, augment=False):
         pts, labels, refl = self._load_frame(idx)
         cid = extract_curves_sequential(pts, self.curve_thresh)
-        if augment and rng is not None and self.polarmix_aug and rng.random() < 0.5:
+        if augment and rng is not None and self.polarmix_aug:
             j = int(rng.integers(len(self.fpaths)))
             p2, y2, r2 = self._load_frame(j)
             c2 = extract_curves_sequential(p2, self.curve_thresh)
@@ -307,39 +307,89 @@ class SemNuScenes(CurveDataset):
                 seg = info.get("lidarseg_path")
                 if seg:
                     seg = os.path.join(self.data_path, seg)
-                pairs.append((lp, seg))
-            if pairs and any(p[1] for p in pairs):
+                # the sample_data token names the official submission file
+                # (reference nuscenes_dataset.py:85: token + '_lidarseg.bin')
+                tok = (info.get("lidar_token")
+                       or info.get("lidar_sd_token"))
+                pairs.append((lp, seg, tok))
+            # the TEST split legitimately carries no lidarseg paths — its
+            # correctly-scoped frame list must not be discarded for the
+            # unsplit fallbacks below
+            if pairs and (self.split == "test"
+                          or any(p[1] for p in pairs)):
                 return pairs
             # fall through to devkit/glob to resolve seg files
         try:
             from nuscenes import NuScenes  # optional devkit
 
-            version = "v1.0-trainval"
+            version = ("v1.0-test" if self.split == "test"
+                       else "v1.0-trainval")
             nusc = NuScenes(version=version, dataroot=self.data_path,
                             verbose=False)
+            # official scene splits — without this filter train and val
+            # would serve the SAME frames (total train/val leak)
+            from nuscenes.utils.splits import create_splits_scenes
+
+            scene_names = set(create_splits_scenes()[self.split])
+            scene_ok = {s["token"] for s in nusc.scene
+                        if s["name"] in scene_names}
             pairs = []
             for sample in nusc.sample:
+                if sample["scene_token"] not in scene_ok:
+                    continue
                 tok = sample["data"]["LIDAR_TOP"]
                 sd = nusc.get("sample_data", tok)
-                seg = nusc.get("lidarseg", tok)["filename"]
-                pairs.append((os.path.join(self.data_path, sd["filename"]),
-                              os.path.join(self.data_path, seg)))
+                lp = os.path.join(self.data_path, sd["filename"])
+                if self.split == "test":
+                    pairs.append((lp, None, tok))
+                else:
+                    seg = nusc.get("lidarseg", tok)["filename"]
+                    pairs.append((lp, os.path.join(self.data_path, seg),
+                                  tok))
             return pairs
         except Exception:
+            # last-resort glob: lidarseg files are named
+            # <sample_data_token>_lidarseg.bin — that token is NOT
+            # derivable from the .pcd.bin filename, so label pairing only
+            # works for exports that place '<pcd_stem>_lidarseg.bin' next
+            # to the sweeps.  Frames without a match get zero labels and
+            # a LOUD warning (previous behavior paired by an impossible
+            # key and silently zeroed every frame).
             lid = sorted(glob.glob(os.path.join(
                 self.data_path, "samples", "LIDAR_TOP", "*.pcd.bin")))
             seg_dir = os.path.join(self.data_path, "lidarseg")
-            segs = {os.path.basename(p).split("_")[0]: p
+            segs = {os.path.basename(p): p
                     for p in glob.glob(os.path.join(seg_dir, "**", "*.bin"),
                                        recursive=True)}
-            return [(p, segs.get(os.path.basename(p).split("_")[0]))
-                    for p in lid]
+
+            def find_seg(p):
+                stem = os.path.basename(p)
+                for cand in (stem.replace(".pcd.bin", "_lidarseg.bin"),
+                             stem + "_lidarseg.bin"):
+                    if cand in segs:
+                        return segs[cand]
+                return None
+
+            pairs = [(p, find_seg(p), None) for p in lid]
+            n_unlabeled = sum(1 for p in pairs if p[1] is None)
+            if n_unlabeled:
+                print(f"[nuscenes] WARNING: glob fallback could not pair "
+                      f"lidarseg labels for {n_unlabeled}/{len(pairs)} "
+                      f"frames (token-named lidarseg files need the devkit "
+                      f"or an info pkl); those frames carry zero labels")
+            # no scene metadata here either: deterministic 9:1 modulo
+            # split so train and val at least never overlap
+            if self.split in ("train", "val"):
+                keep = (lambda i: i % 10 != 0) if self.split == "train" \
+                    else (lambda i: i % 10 == 0)
+                pairs = [p for i, p in enumerate(pairs) if keep(i)]
+            return pairs
 
     def __len__(self):
         return len(self.pairs)
 
     def get(self, idx, rng=None, augment=False):
-        lidar_path, seg_path = self.pairs[idx]
+        lidar_path, seg_path, sd_token = self.pairs[idx]
         raw = np.fromfile(lidar_path, np.float32).reshape(-1, 5)
         pts, refl, beams = raw[:, :3], raw[:, 3:4], raw[:, 4].astype(np.int64)
         if seg_path and os.path.exists(seg_path):
@@ -350,9 +400,9 @@ class SemNuScenes(CurveDataset):
         reorder, inv, cid = extract_curves_beams(pts, beams,
                                                  self.curve_thresh)
         pts, refl, labels = pts[reorder], refl[reorder], labels[reorder]
-        if augment and rng is not None and self.polarmix_aug and rng.random() < 0.5:
+        if augment and rng is not None and self.polarmix_aug:
             j = int(rng.integers(len(self.pairs)))
-            lp2, sp2 = self.pairs[j]
+            lp2, sp2, _ = self.pairs[j]
             raw2 = np.fromfile(lp2, np.float32).reshape(-1, 5)
             y2 = (_map_labels(np.fromfile(sp2, np.uint8),
                               NUSCENES_LEARNING_MAP)
@@ -372,10 +422,17 @@ class SemNuScenes(CurveDataset):
         if augment and rng is not None:
             pts = _lidar_augment(pts.astype(np.float32), rng)
         pts = pts / self.pos_normalize
-        meta = {"format": "nuscenes",
-                "fname": (os.path.basename(seg_path) if seg_path
-                          else os.path.basename(lidar_path) + "_lidarseg.bin"),
-                "reorder": inv}
+        # submission filename: the official format (and the reference,
+        # nuscenes_dataset.py:80-85) names dumps '<sd_token>_lidarseg.bin';
+        # the seg file's basename IS that (token-named), and on the test
+        # split the token from the index takes its place
+        if seg_path:
+            fname = os.path.basename(seg_path)
+        elif sd_token:
+            fname = f"{sd_token}_lidarseg.bin"
+        else:
+            fname = os.path.basename(lidar_path) + "_lidarseg.bin"
+        meta = {"format": "nuscenes", "fname": fname, "reorder": inv}
         return Sample(pos=pts.astype(np.float32), curve_id=cid,
                       feat=refl.astype(np.float32),
                       labels=labels.astype(np.int32), meta=meta)

@@ -117,6 +117,7 @@ def mesh_to_curve_cloud(rng: np.random.Generator, verts: np.ndarray,
     # normalize mesh to unit sphere, random camera
     verts = verts - verts.mean(0, keepdims=True)
     verts = verts / max(np.linalg.norm(verts, axis=1).max(), 1e-8)
+    so3_q = None
     if random_so3:
         # random SO(3) orientation (reference kortx/generate_shapenet.py:68-99)
         A = rng.normal(size=(3, 3))
@@ -125,10 +126,12 @@ def mesh_to_curve_cloud(rng: np.random.Generator, verts: np.ndarray,
         if np.linalg.det(q) < 0:
             q[:, 0] *= -1
         verts = verts @ q.T
-    cam_verts = look_at_camera(
+        so3_q = q
+    cam_verts, cam_rot, cam_eye = look_at_camera(
         verts, distance=2.2,
         elev_deg=float(rng.uniform(-30, 45)),
-        azim_deg=float(rng.uniform(0, 360)))
+        azim_deg=float(rng.uniform(0, 360)),
+        return_transform=True)
     f = resolution * 1.8
     pin = Pinhole(fx=f, fy=f, cx=resolution / 2, cy=resolution / 2,
                   h=resolution, w=resolution)
@@ -149,13 +152,26 @@ def mesh_to_curve_cloud(rng: np.random.Generator, verts: np.ndarray,
                            jnp.ones((1, len(pos)), bool))
         pos = np.asarray(sm[0])
 
+    # object-space coordinates of the scan points (camera inverse, then
+    # the SO3 inverse): part-label transfer must match frames — the label
+    # cloud lives in the normalized OBJECT frame
+    pos_obj = pos @ cam_rot + cam_eye
+    if so3_q is not None:
+        pos_obj = pos_obj @ so3_q
+
     labels = None
     if vert_labels is not None:
-        # nearest-vertex label transfer in camera space
-        d = np.linalg.norm(pos[:, None, :] - cam_verts[None, :, :], axis=-1)
-        labels = vert_labels[np.argmin(d, axis=1)]
+        # nearest-vertex label transfer (object frame, cKDTree — the
+        # dense (n_points, n_verts) distance matrix blows memory on real
+        # ShapeNetCore meshes)
+        from scipy.spatial import cKDTree
+
+        obj_verts = verts if so3_q is None else verts @ so3_q
+        _, nn = cKDTree(obj_verts).query(pos_obj, k=1)
+        labels = vert_labels[nn]
 
     out = dict(pos=pos.astype(np.float32), curve_id=cid,
+               pos_obj=pos_obj.astype(np.float32),
                normals=nrm.astype(np.float32), labels=labels)
     if with_curvature:
         import jax.numpy as jnp
@@ -174,7 +190,8 @@ def generate_dataset(outdir: str, n_samples: int = 64, n_points: int = 2048,
                      shapenet_dir: Optional[str] = None,
                      shapenet_version: int = 1,
                      split: str = "train", split_csv: str = "",
-                     labels_dir: str = "", synsets=None) -> str:
+                     labels_dir: str = "", synsets=None,
+                     random_so3: bool = False) -> str:
     """Write a padded .npz dataset of simulated scans (one file per split
     shard).
 
@@ -202,7 +219,18 @@ def generate_dataset(outdir: str, n_samples: int = 64, n_points: int = 2048,
             raise FileNotFoundError(
                 f"no ShapeNetCore models under {shapenet_dir} for "
                 f"split={split!r}")
-        synset_ids = sorted({m.synset for m in snc})
+        # category ids from the FULL synset universe (the explicit
+        # ``synsets`` list or the directory listing), never the split's
+        # surviving subset — per-split id assignment would let train and
+        # val shards disagree about which class is which
+        if synsets:
+            synset_ids = sorted(synsets)
+        else:
+            synset_ids = sorted(
+                d for d in os.listdir(shapenet_dir)
+                if os.path.isdir(os.path.join(shapenet_dir, d)))
+            if not synset_ids:
+                synset_ids = sorted({m.synset for m in snc})
     pos_all = np.zeros((n_samples, n_points, 3), np.float32)
     cid_all = np.zeros((n_samples, n_points), np.int32)
     lab_all = np.zeros((n_samples, n_points), np.int32)
@@ -222,19 +250,24 @@ def generate_dataset(outdir: str, n_samples: int = 64, n_points: int = 2048,
         else:
             cat = int(rng.integers(len(names)))
             verts, faces = PRIMITIVES[names[cat]]()
-        vl = part_labels_by_height(verts, n_parts)
+        # skip the stand-in height labels when real part labels will
+        # overwrite them (the vertex transfer is pure wasted work there)
+        vl = (None if label_cloud is not None
+              else part_labels_by_height(verts, n_parts))
         got = mesh_to_curve_cloud(rng, verts, faces, vl, n_points,
-                                  resolution, pattern, density)
+                                  resolution, pattern, density,
+                                  random_so3=random_so3)
         if got is None:
             continue
         m = len(got["pos"])
         if label_cloud is not None:
-            # real part labels: nearest-neighbor transfer from the part-seg
-            # point cloud, normalized the same way as the mesh
+            # real part labels: nearest-neighbor transfer from the
+            # part-seg point cloud, matched in the OBJECT frame (the scan
+            # points are camera-frame; pos_obj is their object-space map)
             lp, ly = label_cloud
             lp = lp - lp.mean(0, keepdims=True)
             lp = lp / max(np.linalg.norm(lp, axis=1).max(), 1e-8)
-            got["labels"] = transfer_part_labels(got["pos"], lp, ly)
+            got["labels"] = transfer_part_labels(got["pos_obj"], lp, ly)
         pos_all[i, :m] = got["pos"]
         cid_all[i, :m] = got["curve_id"]
         lab_all[i, :m] = got["labels"][:m]

@@ -154,9 +154,15 @@ def _rasterize_numpy(vertices, faces, pinhole):
 
 
 def look_at_camera(mesh_vertices: np.ndarray, distance: float = 2.5,
-                   elev_deg: float = 20.0, azim_deg: float = 30.0
-                   ) -> np.ndarray:
-    """Transform world-space vertices into a camera frame looking at origin."""
+                   elev_deg: float = 20.0, azim_deg: float = 30.0,
+                   return_transform: bool = False):
+    """Transform world-space vertices into a camera frame looking at origin.
+
+    With ``return_transform`` also returns ``(rot, eye)`` such that
+    ``cam = (v - eye) @ rot.T`` and therefore ``v = cam @ rot + eye`` —
+    consumers that must map scan points BACK to the object frame (e.g.
+    part-label transfer against an object-space label cloud) invert with
+    these instead of matching across frames."""
     el, az = np.deg2rad(elev_deg), np.deg2rad(azim_deg)
     eye = distance * np.array([
         np.cos(el) * np.sin(az), np.sin(el), np.cos(el) * np.cos(az)])
@@ -166,4 +172,7 @@ def look_at_camera(mesh_vertices: np.ndarray, distance: float = 2.5,
     right /= np.linalg.norm(right)
     up2 = np.cross(right, fwd)
     rot = np.stack([right, up2, fwd])  # world -> camera (z forward)
-    return (mesh_vertices - eye) @ rot.T
+    cam = (mesh_vertices - eye) @ rot.T
+    if return_transform:
+        return cam, rot, eye
+    return cam

@@ -119,3 +119,54 @@ def test_label_maps_cover_raw_ids():
     y = lidar._map_labels(np.array([0, 10, 252, 99]),
                           lidar.KITTI_LEARNING_MAP)
     np.testing.assert_array_equal(y, [0, 1, 1, 0])
+
+
+def test_nuscenes_pkl_index_tokens_and_test_split(tmp_path):
+    """The info-pkl index carries the sample_data token through to the
+    submission filename, and a TEST pkl (legitimately seg-less) is used
+    as-is instead of falling through to the unsplit glob fallback."""
+    import pickle
+
+    from curvecloudnet_tpu.data.lidar import SemNuScenes
+
+    root = tmp_path / "nusc"
+    lid_dir = root / "samples" / "LIDAR_TOP"
+    lid_dir.mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    infos = []
+    for i in range(3):
+        fn = f"n008-sweep__LIDAR_TOP__{1000+i}.pcd.bin"
+        pts = rng.normal(size=(64, 5)).astype(np.float32)
+        pts[:, 4] = np.repeat(np.arange(8), 8)  # beam ids
+        pts.tofile(str(lid_dir / fn))
+        infos.append({"lidar_path": f"samples/LIDAR_TOP/{fn}",
+                      "lidar_token": f"tok{i:04d}"})
+    with open(root / "nuscenes_infos_test.pkl", "wb") as f:
+        pickle.dump(infos, f)
+    ds = SemNuScenes(str(root), split="test")
+    assert len(ds) == 3
+    s = ds.get(1)
+    assert s.meta["fname"] == "tok0001_lidarseg.bin"
+    assert (s.labels == 0).all()
+
+
+def test_nuscenes_glob_split_disjoint(tmp_path):
+    """Without any index metadata the glob fallback must at least keep
+    train and val frame sets disjoint (previously both served ALL)."""
+    from curvecloudnet_tpu.data.lidar import SemNuScenes
+
+    root = tmp_path / "nusc"
+    lid_dir = root / "samples" / "LIDAR_TOP"
+    lid_dir.mkdir(parents=True)
+    rng = np.random.default_rng(1)
+    for i in range(20):
+        pts = rng.normal(size=(32, 5)).astype(np.float32)
+        pts[:, 4] = np.repeat(np.arange(4), 8)
+        pts.tofile(str(lid_dir / f"sweep_{i:03d}.pcd.bin"))
+    tr = SemNuScenes(str(root), split="train")
+    va = SemNuScenes(str(root), split="val")
+    tr_files = {p for p, _, _ in tr.pairs}
+    va_files = {p for p, _, _ in va.pairs}
+    assert tr_files and va_files
+    assert not (tr_files & va_files)
+    assert len(tr_files) + len(va_files) == 20

@@ -88,10 +88,30 @@ def test_generator_consumes_real_layout(tmp_path):
     lab = blob["labels"][blob["valid"]]
     # transferred labels are the hemisphere split, not height quantiles
     assert set(np.unique(lab)) <= {0, 1}
-    pts = blob["pos"][blob["valid"]]
-    upper = lab[pts[:, 2] > 0.15]
-    if len(upper) > 10:
-        assert (upper == 1).mean() > 0.8
+    # the transfer happens in the OBJECT frame: a random camera view of a
+    # sphere sees BOTH object hemispheres, so neither label dominates.
+    # (The pre-fix camera-frame transfer matched far-away camera points
+    # against the object-space cloud and gave ~every point the +z pole's
+    # label — that regression looked exactly like >90% one label.)
+    frac1 = float((lab == 1).mean())
+    assert 0.1 < frac1 < 0.9, f"degenerate label split: {frac1}"
+
+
+def test_part_label_transfer_is_object_frame():
+    """Scan points carry the label of their OBJECT-space hemisphere even
+    though scan positions are reported in the camera frame."""
+    rng = np.random.default_rng(3)
+    verts, faces = G.uv_sphere(n_lat=16, n_lon=24)
+    vl = (verts[:, 2] > 0).astype(np.int32)
+    got = G.mesh_to_curve_cloud(rng, verts, faces, vl, n_points=512,
+                                resolution=128)
+    assert got is not None
+    # away from the equatorial band, the nearest VERTEX of a coarse
+    # sphere is unambiguously on the point's own hemisphere
+    clear = np.abs(got["pos_obj"][:, 2]) > 0.25
+    agree = (got["labels"][clear]
+             == (got["pos_obj"][clear, 2] > 0)).mean()
+    assert agree > 0.95, agree
 
 
 def test_generator_raises_on_empty_tree(tmp_path):
