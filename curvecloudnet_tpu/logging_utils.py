@@ -36,6 +36,28 @@ class MetricLogger:
                 print(f"[logging] wandb unavailable ({e}); using JSONL only")
                 self._wandb = None
 
+    def reload_history(self) -> None:
+        """Rebuild the in-memory metric history from this outdir's
+        ``metrics.jsonl`` — auto-resumed runs otherwise compute
+        run-spanning statistics (``median_top_k``, summary maxima) over
+        only the post-resume entries (the reference's wandb history spans
+        the whole run)."""
+        path = os.path.join(self.outdir or "", "metrics.jsonl")
+        if not self.outdir or not os.path.exists(path):
+            return
+        with open(path) as f:
+            for line in f:
+                try:
+                    rec = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                for k, v in rec.items():
+                    if k in ("ts", "step") or not isinstance(v, (int, float)):
+                        continue
+                    self.summary_max[k] = max(
+                        self.summary_max.get(k, -1e30), v)
+                    self._history.setdefault(k, []).append(v)
+
     def log(self, metrics: Dict[str, Any], step: Optional[int] = None) -> None:
         rec = {"ts": time.time()}
         if step is not None:

@@ -58,7 +58,6 @@ def load_datasets(cfg):
             src in ("nuscenes", "kitti", "audi") and not have_data):
         if not src.startswith("synthetic"):
             print(f"[data] {data_path!r} missing -> synthetic lidar stand-in")
-        info = T.task_for(src if have_data else "nuscenes", task)
         n_cls = T.task_for(src, task).n_out if src in T.TASKS else 17
         train = D.SyntheticLidarSeg(n_samples=cfg.get("n_train", 32),
                                     n_pad=n_pad, n_classes=n_cls, seed=1)
@@ -165,9 +164,10 @@ def run_viz(model, variables, val_ds, info, cfg, outdir, n_samples=4,
         logger.log_media(f"viz/curves_{i}", curves_png)
         gt = (np.asarray(batch.labels)[0]
               if np.ndim(np.asarray(batch.labels)) > 1 else None)
-        seg_png = os.path.join(viz_dir, f"seg_{i}.png")
-        plot_segmentation(pos, pred, gt, valid, path=seg_png)
-        logger.log_media(f"viz/seg_{i}", seg_png)
+        if len(pred) == len(pos):  # classification preds are (1,), no
+            seg_png = os.path.join(viz_dir, f"seg_{i}.png")  # per-point map
+            plot_segmentation(pos, pred, gt, valid, path=seg_png)
+            logger.log_media(f"viz/seg_{i}", seg_png)
 
         # grouping edges of the first sgcnn/sa radius on this cloud
         # (reference visualize_plotly.py:284-306)
@@ -255,7 +255,12 @@ def main(cfg: dict) -> Optional[float]:
     batch_size = int(cfg.get("batch_size", 4))
     seed = int(cfg.get("seed", 0))
     key = jax.random.PRNGKey(seed)
-    steps_per_epoch = max(1, len(train_ds) // batch_size)
+    # per-PROCESS steps: the sharded loader runs ceil(len/nproc)/bs steps
+    # per epoch on each host, and the schedule counts optimizer steps —
+    # sizing it from the global length would stretch every per-epoch decay
+    # by the process count
+    shard_len = -(-len(train_ds) // jax.process_count())
+    steps_per_epoch = max(1, -(-shard_len // batch_size))
     schedule = make_schedule(cfg.get("scheduler"), float(cfg.get("lr", 1e-3)),
                              steps_per_epoch)
 
@@ -284,6 +289,9 @@ def main(cfg: dict) -> Optional[float]:
         latest = ckpt.read_latest_state(outdir) or {}
         start_epoch = int(latest.get("epoch", -1)) + 1
         max_score = float(latest.get("max_score", -1e30))
+        # run-spanning stats (median-top-5 score) must see pre-resume
+        # entries too
+        logger.reload_history()
         print(f"resumed from {outdir} at epoch {start_epoch}")
 
     class_weights = None
@@ -340,8 +348,13 @@ def main(cfg: dict) -> Optional[float]:
             state, m = train_step(state, batch, sub, bn_m)
             step_count += 1
             losses.append(m["loss"])
-            if step_count % 10 == 0:
-                logger.log({"train_loss": float(m["loss"])}, step=step_count)
+            if step_count % 10 == 0 and len(losses) >= 2:
+                # log the PREVIOUS step's loss: float() on the value just
+                # dispatched blocks the host until the step completes
+                # (~44 ms tunnel round trip measured) — the step-older
+                # value is ready while the current step computes
+                logger.log({"train_loss": float(losses[-2])},
+                           step=step_count - 1)
         if profile_dir and epoch == start_epoch + 1:
             jax.profiler.stop_trace()
         ep_loss = float(np.mean([float(l) for l in losses])) if losses else 0.0

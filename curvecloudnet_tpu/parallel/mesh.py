@@ -32,12 +32,21 @@ def initialize_distributed(coordinator: Optional[str] = None,
     return jax.process_index()
 
 
-def process_shard_range(n_items: int) -> range:
-    """This process's contiguous shard of a dataset (multi-host data
-    loading: each host reads only its slice)."""
+def process_shard_range(n_items: int) -> list:
+    """This process's lockstep shard of a dataset (multi-host loading).
+
+    Every process MUST run the same number of steps per epoch (unequal
+    shards deadlock the first collective at the epoch boundary), so the
+    index order wrap-pads: each process gets exactly ceil(n/nproc)
+    indices, with early items repeated when n is not divisible (the same
+    semantics as PrefetchLoader._batch_indices, which is the path the
+    training loop actually uses)."""
     p, np_ = jax.process_index(), jax.process_count()
     per = -(-n_items // np_)
-    return range(p * per, min((p + 1) * per, n_items))
+    idx = list(range(n_items))
+    reps = -(-per * np_ // max(n_items, 1))
+    idx = (idx * (reps + 1))[:per * np_]
+    return idx[p * per:(p + 1) * per]
 
 
 def make_mesh(n_devices: Optional[int] = None,
@@ -63,12 +72,22 @@ def replicate(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch, mesh: Mesh, axis: str = "dp"):
-    """Place a host batch with its leading dim sharded over the mesh."""
+    """Place a host batch with its leading dim sharded over the mesh.
+
+    Multi-host: each process holds a DIFFERENT per-host batch (the loader
+    shards the epoch), and the global array must be assembled from those
+    process-local shards — ``jax.device_put`` of a host-local array
+    against a mesh containing non-addressable devices is wrong (it would
+    treat one host's data as the whole global value).  The global batch
+    dim is ``per_host_batch * process_count``."""
     sh = batch_sharding(mesh, axis)
+    multihost = jax.process_count() > 1
 
     def put(x):
         if x is None:
             return None
+        if multihost:
+            return jax.make_array_from_process_local_data(sh, np.asarray(x))
         return jax.device_put(x, sh)
 
     return jax.tree.map(put, batch)

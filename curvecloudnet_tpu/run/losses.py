@@ -40,7 +40,10 @@ def nll_loss(log_probs: jax.Array, labels: jax.Array, valid: jax.Array,
     else:
         w = jnp.ones_like(picked)
     w = jnp.where(counted, w, 0.0)
-    num = -jnp.sum(picked * w)
+    # where(), not zero-weighting: a non-finite log-prob at a masked slot
+    # (garbage padded features can overflow, especially bf16) would turn
+    # NaN * 0.0 into NaN and poison the whole batch loss
+    num = -jnp.sum(jnp.where(counted, picked * w, 0.0))
     if mean_over_all:
         den = jnp.maximum(valid.sum(), 1)
     else:

@@ -76,7 +76,10 @@ def make_schedule(scheduler_cfg: dict, base_lr: float,
             boundaries.append(start)
             period *= mult
         sched = optax.join_schedules(schedules, boundaries[:-1])
-        return lambda count: sched(count) + eta_min
+        # snap to epoch boundaries: the reference steps its scheduler once
+        # per EPOCH (load_utils.py:53-60), so the LR must hold constant
+        # within an epoch (exp gets this via staircase=True above)
+        return lambda count: sched((count // spe) * spe) + eta_min
     raise ValueError(f"unknown scheduler {name!r}")
 
 

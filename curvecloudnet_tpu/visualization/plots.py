@@ -278,7 +278,7 @@ def nocs_figure(pos, pred_nocs, gt_nocs, errs=None, max_err: float = 0.1,
     errs = np.clip(np.asarray(errs, np.float32) / max_err, 0, 1)
     err_c = np.stack([errs, 1.0 - errs, np.zeros_like(errs)], -1)
     panels = [(pos - pos.mean(0) + np.array([0.5, 0.5, 0.5]), err_c),
-              (pred + np.array([1.2, 0, 0]), np.clip(gt, 0, 1)),
+              (pred + np.array([1.2, 0, 0]), np.clip(pred, 0, 1)),
               (gt + np.array([2.4, 0, 0]), np.clip(gt, 0, 1))]
     boxes = [_unit_box_edges((dx, 0, 0)) for dx in (0.0, 1.2, 2.4)]
     try:

@@ -57,10 +57,10 @@ def test_multihost_sharding_partitions_epoch(monkeypatch):
 def test_single_process_shard_is_identity():
     ds = D.SyntheticObjects(n_samples=8, n_pad=64, task="classification")
     loader = PrefetchLoader(ds, batch_size=4, shuffle=False)
-    assert loader._shard() == range(8)
+    assert list(loader._shard()) == list(range(8))
     unsharded = PrefetchLoader(ds, batch_size=4, shuffle=False,
                                shard_by_process=False)
-    assert unsharded._shard() == range(8)
+    assert list(unsharded._shard()) == list(range(8))
 
 
 def test_driver_distributed_entry(monkeypatch):
