@@ -718,8 +718,34 @@ class EdgeConvStep(nn.Module):
                     return cloud.with_features(
                         fused * cloud.valid[..., None])
 
-            msg = local_nn(None, mask=nbr_mask, train=train,
-                           bn_momentum=bn_momentum, first_map=first_map)
+            # Flat MLP form (NEGATIVE, off-path; A/B via CCN_EDGE_FLAT=force):
+            # run every layer past the gather on the (B, M*K, C) view so the
+            # rank-3 dense lowers to a plain matmul instead of a b0f conv.
+            # Measured on v5e at 36864: eval 60.4 -> 63.2 ms/step sync span,
+            # train 188.0 -> 210.8 — the XLA gather fusion ALREADY emits flat
+            # (M*K, C) rows in the rank-4 graph (both traces show identical
+            # bf16[483840,64] gather fusions), so flattening buys nothing and
+            # the extra reshapes force relayout copies of the big message
+            # tensors.  Math is identical (same contraction, same BN element
+            # set) — equivalence pinned by tests/test_flat_edge.py.
+            flat_env = os.environ.get("CCN_EDGE_FLAT", "0")
+            use_flat = flat_env == "force"
+            if use_flat:
+                bsz, m, kk = nbr_idx.shape
+
+                def first_map_flat(dense):
+                    u, v = _split_uv(dense)
+                    g = neighbors.gather_neighbors(u, nbr_idx)
+                    g = g + v[:, :, None, :]
+                    return g.reshape(bsz, m * kk, g.shape[-1])
+
+                msg = local_nn(None, mask=nbr_mask.reshape(bsz, m * kk),
+                               train=train, bn_momentum=bn_momentum,
+                               first_map=first_map_flat)
+                msg = msg.reshape(bsz, m, kk, msg.shape[-1])
+            else:
+                msg = local_nn(None, mask=nbr_mask, train=train,
+                               bn_momentum=bn_momentum, first_map=first_map)
         else:
             xj = neighbors.gather_neighbors(x, nbr_idx)
             fused = self._try_fused(x, xj, nbr_mask, train)

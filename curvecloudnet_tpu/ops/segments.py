@@ -155,25 +155,37 @@ def segment_broadcast_last(x: jax.Array, ends: jax.Array) -> jax.Array:
 
 
 def curve_start_index(curve_id: jax.Array, valid: jax.Array) -> jax.Array:
-    """(B, N) int32 — index (along N) of the first point of each point's curve."""
+    """(B, N) int32 — index (along N) of the first point of each point's curve.
+
+    Exact plain-cummax form: the latest segment start at or before i IS i's
+    segment start, so ``cummax(where(starts, iota, -1))`` equals the
+    segmented broadcast of iota without the associative_scan slice tree
+    (each scan costs ~50 slices+pads at N=36864; one lax.cummax is a single
+    fused op).  Integer-exact, so bit-identical to the scan form.
+    """
     def build():
         n = curve_id.shape[-1]
         iota = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32),
                                 curve_id.shape)
         starts = curve_starts(curve_id, valid)
-        return segment_broadcast_first(iota, starts)
+        return jax.lax.cummax(jnp.where(starts, iota, -1), axis=iota.ndim - 1)
 
     return _memo("start_index", build, curve_id, valid)
 
 
 def curve_end_index(curve_id: jax.Array, valid: jax.Array) -> jax.Array:
-    """(B, N) int32 — index (along N) of the last point of each point's curve."""
+    """(B, N) int32 — index (along N) of the last point of each point's curve.
+
+    Mirror of :func:`curve_start_index`: the nearest segment end at or after
+    i is i's segment end (segments partition the row), a reverse cummin.
+    """
     def build():
         n = curve_id.shape[-1]
         iota = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32),
                                 curve_id.shape)
         ends = curve_ends(curve_id, valid)
-        return segment_broadcast_last(iota, ends)
+        return jax.lax.cummin(jnp.where(ends, iota, n), axis=iota.ndim - 1,
+                              reverse=True)
 
     return _memo("end_index", build, curve_id, valid)
 
@@ -218,10 +230,16 @@ def per_curve_total(x: jax.Array, curve_id: jax.Array,
 
 
 def points_per_curve(curve_id: jax.Array, valid: jax.Array) -> jax.Array:
-    """(B, N) — per point, the number of valid points on its curve."""
+    """(B, N) — per point, the number of valid points on its curve.
+
+    Curves are contiguous and fully valid (packing invariant), so the count
+    is ``end_index - start_index + 1`` — integer-exact and scan-free.
+    Padding slots are their own degenerate segments with zero valid points.
+    """
     def build():
-        ones = valid.astype(jnp.float32)
-        return per_curve_total(ones, curve_id, valid)
+        s = curve_start_index(curve_id, valid)
+        e = curve_end_index(curve_id, valid)
+        return jnp.where(valid, (e - s + 1).astype(jnp.float32), 0.0)
 
     return _memo("points_per_curve", build, curve_id, valid)
 
