@@ -103,6 +103,61 @@ def _fused_group_eval(module: nn.Module, spec: ModelSpec, step: StepSpec,
     return out.astype(_dt(spec) or jnp.float32)
 
 
+def _fused_group_train(module: nn.Module, spec: ModelSpec, step: StepSpec,
+                       dims: Tuple[int, ...], h1_fn, nbr_mask,
+                       act: str, local_nn: MLP, attend_nn: Optional[MLP],
+                       bn_momentum, family: str = "") -> Optional[jax.Array]:
+    """Shared TRAIN-megakernel dispatch (ops/pallas_group_train.py).
+
+    ``h1_fn()`` must return the layer-0 pre-norm messages in the
+    position-major (B, K, M, C1) slab layout; ``nbr_mask`` is query-major
+    (B, M, K) with columns matching the slab's plane order.  The kernel
+    computes the exact masked batch statistics and exact gradients
+    (including the paths through the batch mean/variance); the running
+    stats are then written through one tiny MLP call with the kernel's
+    stats as overrides (the _stream pattern).  Returns None (caller keeps
+    the XLA materialized path) when disabled, params aren't bound yet, or
+    on CPU (unless CCN_FUSED_GROUP_TRAIN=interp for tests).
+    """
+    import os
+
+    env = os.environ.get("CCN_FUSED_GROUP_TRAIN", "sageo,sa")
+    interp = env == "interp"
+    enabled = env in ("1", "interp") or family in env.split(",")
+    n_layers = len(dims) - 1
+    if (not enabled or step.aggr_type not in ("attend", "max")
+            or n_layers < 2 or module.is_initializing()
+            or (jax.default_backend() in ("cpu",) and not interp)):
+        return None
+    try:
+        p = module.variables["params"]["nn"]
+        pa = None
+        n_att = 0
+        if step.aggr_type == "attend":
+            pa = module.variables["params"]["attend_nn"]
+            n_att = len(_attend_dims(spec, step, dims[-1])) - 1
+    except (KeyError, AttributeError):
+        return None
+    from ..ops import pallas_group_train as pgt
+
+    h1 = h1_fn()
+    out, loc_stats, att_stats = pgt.grouped_train_reduce(
+        h1, nbr_mask, p, n_layers, pa, n_att, aggr=step.aggr_type,
+        act=act, attend_act="leaky_relu", interpret=interp)
+    # running-stat write: one tiny call per MLP with the kernel's batch
+    # stats as overrides (exactly CurveSAStep._stream's update pattern)
+    bsz, _, _, c1 = h1.shape
+    tiny_h1 = jax.lax.stop_gradient(h1[:, 0, :1, :].reshape(bsz, 1, c1))
+    stats_list = list(loc_stats) + [None]
+    out_t = local_nn(None, mask=None, train=True, bn_momentum=bn_momentum,
+                     bn_stats=stats_list, update_running=True,
+                     first_map=lambda dense: tiny_h1)
+    if attend_nn is not None:
+        attend_nn(out_t, mask=None, train=True, bn_momentum=bn_momentum,
+                  bn_stats=list(att_stats) + [None], update_running=True)
+    return out.astype(_dt(spec) or jnp.float32)
+
+
 def _group_conv(local_nn: MLP, attend_nn: Optional[MLP], step: StepSpec,
                 x_src: Optional[jax.Array], pos_src: jax.Array,
                 pos_dst: jax.Array, nbr_idx: jax.Array, nbr_mask: jax.Array,
@@ -134,7 +189,7 @@ def _group_conv(local_nn: MLP, attend_nn: Optional[MLP], step: StepSpec,
             rel = rel / step.radius
         return rel
 
-    if fused_ctx is not None and not train:
+    if fused_ctx is not None:
         module, spec, dims = fused_ctx
 
         def h1_km():
@@ -146,9 +201,15 @@ def _group_conv(local_nn: MLP, attend_nn: Optional[MLP], step: StepSpec,
                           train=False, upto=0)
             return h1.reshape(b, k_, m_, -1)
 
-        fused = _fused_group_eval(
-            module, spec, step, dims, h1_km,
-            nbr_mask, act=local_nn.act, family="sa", k_major=True)
+        if not train:
+            fused = _fused_group_eval(
+                module, spec, step, dims, h1_km,
+                nbr_mask, act=local_nn.act, family="sa", k_major=True)
+        else:
+            fused = _fused_group_train(
+                module, spec, step, dims, h1_km, nbr_mask,
+                act=local_nn.act, local_nn=local_nn, attend_nn=attend_nn,
+                bn_momentum=bn_momentum, family="sa")
         if fused is not None:
             return fused
     msg = build_msg(k_major=False)
@@ -237,14 +298,9 @@ class CurveSAStep(nn.Module):
         # static candidate half-window for the geodesic group (config knob)
         return self.step.curve_window
 
-    def _fused_eval(self, cloud: Cloud, down: Cloud, idx, nbr_mask,
-                    local_nn, attend_nn):
-        """Eval megakernel: window gather + lin_0 in XLA, then the whole
-        BN-affine -> MLP -> attention-softmax/max pipeline VMEM-resident
-        (ops/pallas_group.py).  Replaces the chunked streaming walk on TPU;
-        returns None (caller falls through) when not applicable."""
-        import os
-
+    def _h1_km_fn(self, cloud: Cloud, down: Cloud, idx, local_nn):
+        """Position-major layer-0 builder shared by the eval and train
+        megakernel paths: k-major window gather + one flat lin_0 matmul."""
         step = self.step
 
         def h1_fn():
@@ -285,10 +341,31 @@ class CurveSAStep(nn.Module):
                           train=False, upto=0)
             return h1.reshape(b, w_, m_, -1)
 
+        return h1_fn
+
+    def _fused_eval(self, cloud: Cloud, down: Cloud, idx, nbr_mask,
+                    local_nn, attend_nn):
+        """Eval megakernel: window gather + lin_0 in XLA, then the whole
+        BN-affine -> MLP -> attention-softmax/max pipeline VMEM-resident
+        (ops/pallas_group.py).  Replaces the chunked streaming walk on TPU;
+        returns None (caller falls through) when not applicable."""
+        h1_fn = self._h1_km_fn(cloud, down, idx, local_nn)
         mask_asc = curve1d.ascending_from_interleaved(nbr_mask, self.window)
-        return _fused_group_eval(self, self.spec, step, self.dims, h1_fn,
-                                 mask_asc, act="leaky_relu",
+        return _fused_group_eval(self, self.spec, self.step, self.dims,
+                                 h1_fn, mask_asc, act="leaky_relu",
                                  family="sageo", k_major=True)
+
+    def _fused_train(self, cloud: Cloud, down: Cloud, idx, nbr_mask,
+                     local_nn, attend_nn, bn_momentum):
+        """Train megakernel: exact batch stats + exact gradients VMEM-
+        resident (ops/pallas_group_train.py); running stats written via
+        the _stream tiny-call pattern.  None -> materialized fallback."""
+        h1_fn = self._h1_km_fn(cloud, down, idx, local_nn)
+        mask_asc = curve1d.ascending_from_interleaved(nbr_mask, self.window)
+        return _fused_group_train(self, self.spec, self.step, self.dims,
+                                  h1_fn, mask_asc, act="leaky_relu",
+                                  local_nn=local_nn, attend_nn=attend_nn,
+                                  bn_momentum=bn_momentum, family="sageo")
 
     def _stream(self, cloud: Cloud, down: Cloud, idx, nbr_mask, local_nn,
                 attend_nn, train, bn_momentum):
@@ -440,6 +517,11 @@ class CurveSAStep(nn.Module):
         if not train:
             fused = self._fused_eval(cloud, down, idx, nbr_mask, local_nn,
                                      attend_nn)
+            if fused is not None:
+                return down.with_features(fused)
+        else:
+            fused = self._fused_train(cloud, down, idx, nbr_mask, local_nn,
+                                      attend_nn, bn_momentum)
             if fused is not None:
                 return down.with_features(fused)
         stream_env = os.environ.get("CCN_STREAM_SAGEO", "auto")
@@ -714,6 +796,23 @@ class EdgeConvStep(nn.Module):
                                      first_map=first_map_km, upto=0),
                     nbr_mask, act=local_nn.act, family="edge",
                     k_major=True)
+                if fused is not None:
+                    return cloud.with_features(
+                        fused * cloud.valid[..., None])
+            elif step.aggr_type == "max":
+
+                def first_map_km_t(dense):
+                    u, v = _split_uv(dense)
+                    return (neighbors.gather_neighbors(
+                        u, jnp.swapaxes(nbr_idx, 1, 2))
+                        + v[:, None, :, :])
+
+                fused = _fused_group_train(
+                    self, self.spec, step, self.dims,
+                    lambda: local_nn(None, mask=nbr_mask, train=False,
+                                     first_map=first_map_km_t, upto=0),
+                    nbr_mask, act=local_nn.act, local_nn=local_nn,
+                    attend_nn=None, bn_momentum=bn_momentum, family="edge")
                 if fused is not None:
                     return cloud.with_features(
                         fused * cloud.valid[..., None])

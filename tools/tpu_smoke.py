@@ -12,6 +12,7 @@ every bench:
 Exit code 0 = all kernels compiled and agreed with XLA.
 """
 
+import functools
 import os
 import sys
 import time
@@ -238,6 +239,109 @@ def main():
                                           np.asarray(got))
 
     check("pallas_group fused MLP+aggregate", group_check)
+
+    def group_train_check():
+        from curvecloudnet_tpu.ops import aggregate
+        from curvecloudnet_tpu.ops.pallas_group_train import (
+            grouped_train_reduce)
+
+        m, k = 2048, 20
+        dims, att_dims = (64, 128, 256), (256, 256, 256)
+        r2 = np.random.default_rng(11)
+        maskf = jnp.asarray(r2.random((1, m, k)) > 0.3, jnp.float32)
+        rvec = jnp.asarray(r2.normal(size=(1, m, dims[-1])), jnp.float32)
+        eps = 1e-5
+
+        def params_for(dt):
+            loc, att = {}, {}
+            for i in range(len(dims) - 1):
+                loc[f"norm_{i}"] = {
+                    "scale": jnp.asarray(r2.random(dims[i]) + 0.5,
+                                         jnp.float32),
+                    "bias": jnp.asarray(r2.normal(size=dims[i]) * 0.1,
+                                        jnp.float32)}
+                loc[f"lin_{i + 1}"] = {"kernel": jnp.asarray(
+                    r2.normal(size=(dims[i], dims[i + 1]))
+                    / np.sqrt(dims[i]), jnp.float32)}
+            for i in range(len(att_dims) - 1):
+                att[f"lin_{i}"] = {"kernel": jnp.asarray(
+                    r2.normal(size=(att_dims[i], att_dims[i + 1]))
+                    / np.sqrt(att_dims[i]), jnp.float32)}
+                if i < len(att_dims) - 2:
+                    att[f"norm_{i}"] = {
+                        "scale": jnp.asarray(r2.random(att_dims[i + 1])
+                                             + 0.5, jnp.float32),
+                        "bias": jnp.asarray(
+                            r2.normal(size=att_dims[i + 1]) * 0.1,
+                            jnp.float32)}
+            return loc, att
+
+        def ref_loss(h1_qm, loc, att, aggr, cdt):
+            n = jnp.clip(jnp.sum(maskf), min=1.0)
+            act = lambda v: jnp.where(v > 0, v, 0.01 * v)
+            v = h1_qm.astype(jnp.float32)
+            for i in range(len(dims) - 1):
+                mf = maskf[..., None]
+                mu = jnp.sum(v * mf, axis=(0, 1, 2)) / n
+                var = jnp.sum((v - mu) ** 2 * mf, axis=(0, 1, 2)) / n
+                y = ((v - mu) * jax.lax.rsqrt(var + eps)
+                     * loc[f"norm_{i}"]["scale"] + loc[f"norm_{i}"]["bias"])
+                v = jnp.einsum("bmkc,cd->bmkd", act(y).astype(cdt),
+                               loc[f"lin_{i + 1}"]["kernel"].astype(cdt),
+                               preferred_element_type=jnp.float32)
+            msg = v
+            if aggr == "max":
+                out = aggregate.masked_max(msg, maskf > 0)
+            else:
+                g = jnp.einsum("bmkc,cd->bmkd", msg.astype(cdt),
+                               att["lin_0"]["kernel"].astype(cdt),
+                               preferred_element_type=jnp.float32)
+                mf = maskf[..., None]
+                mu = jnp.sum(g * mf, axis=(0, 1, 2)) / n
+                var = jnp.sum((g - mu) ** 2 * mf, axis=(0, 1, 2)) / n
+                ya = ((g - mu) * jax.lax.rsqrt(var + eps)
+                      * att["norm_0"]["scale"] + att["norm_0"]["bias"])
+                lg = jnp.einsum("bmkc,cd->bmkd", act(ya).astype(cdt),
+                                att["lin_1"]["kernel"].astype(cdt),
+                                preferred_element_type=jnp.float32)
+                out = aggregate.masked_attend(msg, lg, maskf > 0)
+            return jnp.sum(out.astype(jnp.float32) * rvec)
+
+        # exactness is pinned by the interpret-mode CI (tests/test_group_
+        # train*.py); on-chip tolerances only need to catch Mosaic
+        # compile/layout regressions — f32 dots use different default
+        # matmul passes in Mosaic vs XLA einsum (measured ~2% grad drift)
+        for dt, tol in ((jnp.float32, 8e-3), (jnp.bfloat16, 0.1)):
+            h1 = jnp.asarray(r2.normal(size=(1, m, k, dims[0])), dt)
+            loc, att = params_for(dt)
+            for aggr in ("attend", "max"):
+                def ker_loss(h1_, loc_, att_):
+                    out, _, _ = grouped_train_reduce(
+                        jnp.swapaxes(h1_, 1, 2), maskf > 0, loc_,
+                        len(dims), att_ if aggr == "attend" else None,
+                        2 if aggr == "attend" else 0, aggr=aggr)
+                    return jnp.sum(out * rvec)
+
+                vk, gk = jax.jit(jax.value_and_grad(
+                    ker_loss, argnums=(0, 1, 2)))(h1, loc, att)
+                vr, gr = jax.jit(jax.value_and_grad(
+                    functools.partial(ref_loss, aggr=aggr, cdt=dt),
+                    argnums=(0, 1, 2)))(h1, loc, att)
+                jax.block_until_ready(gk)
+                sc = max(abs(float(vr)), 1.0)
+                assert abs(float(vk) - float(vr)) / sc < tol, \
+                    f"{aggr}/{dt}: value {float(vk)} vs {float(vr)}"
+                for (kp, a), (_, b) in zip(
+                        jax.tree_util.tree_flatten_with_path(gr)[0],
+                        jax.tree_util.tree_flatten_with_path(gk)[0]):
+                    a, b = np.asarray(a, np.float32), np.asarray(
+                        b, np.float32)
+                    denom = max(np.abs(a).max(), 1e-3)
+                    rel = np.abs(b - a).max() / denom
+                    assert rel < tol * 5, \
+                        f"{aggr}/{dt}: grad at {kp}: relmax {rel}"
+
+    check("pallas_group_train fwd+bwd", group_train_check)
 
     if FAILURES:
         print(f"SMOKE FAILED: {FAILURES}", flush=True)
