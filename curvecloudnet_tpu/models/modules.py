@@ -121,7 +121,10 @@ def _fused_group_train(module: nn.Module, spec: ModelSpec, step: StepSpec,
     """
     import os
 
-    env = os.environ.get("CCN_FUSED_GROUP_TRAIN", "sageo,sa")
+    # train default includes edge (measured -7.1 ms/step at 36864, unlike
+    # eval where the per-level custom-call barriers made edge negative —
+    # the train graph is big enough to hide them)
+    env = os.environ.get("CCN_FUSED_GROUP_TRAIN", "sageo,sa,edge")
     interp = env == "interp"
     enabled = env in ("1", "interp") or family in env.split(",")
     n_layers = len(dims) - 1

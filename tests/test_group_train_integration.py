@@ -82,7 +82,7 @@ def test_fused_train_matches_materialized(kind, aggr):
 
         (val, updates), grads = jax.value_and_grad(loss, has_aux=True)(
             vs["params"])
-        os.environ["CCN_FUSED_GROUP_TRAIN"] = "sageo,sa"
+        os.environ["CCN_FUSED_GROUP_TRAIN"] = "sageo,sa,edge"
         os.environ["CCN_SPLIT_EDGE"] = "auto"
         return val, updates, grads
 
@@ -90,7 +90,7 @@ def test_fused_train_matches_materialized(kind, aggr):
         val_r, upd_r, g_r = run("0")
         val_k, upd_k, g_k = run("interp")
     finally:
-        os.environ["CCN_FUSED_GROUP_TRAIN"] = "sageo,sa"
+        os.environ["CCN_FUSED_GROUP_TRAIN"] = "sageo,sa,edge"
         os.environ["CCN_SPLIT_EDGE"] = "auto"
     np.testing.assert_allclose(float(val_k), float(val_r), rtol=1e-4)
     for (kp, a), (_, b) in zip(
