@@ -68,14 +68,20 @@ def lovasz_softmax(probs: jax.Array, labels: jax.Array,
     # invalid rows sort last: real errors are in [0, 1]
     errors = jnp.where(valid[:, None], errors, -1.0)
 
-    # ONE variadic sort carries (key, fg, valid) together — an argsort plus
-    # three take_along_axis calls costs 3 extra (N*C)-row gathers forward
-    # and their scatters backward (~12 ms/step at 32k x 17).  The carried
-    # 0/1 operands ride as bf16 (exactly representable) to halve the sort's
-    # payload bandwidth.
-    neg_sorted, fg_sorted, valid_sorted = jax.lax.sort(
-        (-errors, fgf.astype(jnp.bfloat16),
-         jnp.broadcast_to(valid[:, None], (n, c)).astype(jnp.bfloat16)),
+    # ONE variadic sort carries (key, fg, valid, row index) together — an
+    # argsort plus three take_along_axis calls costs 3 extra (N*C)-row
+    # gathers forward and their scatters backward (~12 ms/step at 32k x 17).
+    # The carried 0/1 operands ride as bf16 (exactly representable) to
+    # halve the sort's payload bandwidth.  ``errors`` itself is detached:
+    # its gradient path runs through the *unsorted* dot below, so autodiff
+    # never differentiates through the sort (the sort transpose lowers to a
+    # serial (N*C) scatter, ~4 ms/step at 36k x 17).
+    rows = jnp.broadcast_to(
+        jnp.arange(n, dtype=jnp.int32)[:, None], (n, c))
+    neg_sorted, fg_sorted, valid_sorted, rows_sorted = jax.lax.sort(
+        (jax.lax.stop_gradient(-errors), fgf.astype(jnp.bfloat16),
+         jnp.broadcast_to(valid[:, None], (n, c)).astype(jnp.bfloat16),
+         rows),
         dimension=0, num_keys=1)
     errors_sorted = -neg_sorted
     fg_sorted = fg_sorted.astype(jnp.float32)
@@ -93,7 +99,15 @@ def lovasz_softmax(probs: jax.Array, labels: jax.Array,
     # (lovasz grad is data there too, lovasz_losses.py:198-203) while
     # keeping the backward pass to one sort-transpose
     grad = jax.lax.stop_gradient(grad * valid_sorted)
-    losses = jnp.sum(jnp.maximum(errors_sorted, 0.0) * grad, axis=0)
+    # Unsort the (data-only) Jaccard gradient with a second sort keyed on
+    # the carried row index, then take the dot against the UNSORTED errors:
+    # the loss value is identical (sum reordering) and the backward pass is
+    # a pure elementwise multiply instead of a sort-transpose scatter.
+    # Invalid slots carry grad == 0 (valid_sorted factor), so the -1 fills
+    # in ``errors`` contribute nothing.
+    _, grad_unsorted = jax.lax.sort(
+        (rows_sorted, grad), dimension=0, num_keys=1)
+    losses = jnp.sum(errors * jax.lax.stop_gradient(grad_unsorted), axis=0)
 
     present = gts > 0
     return jnp.sum(jnp.where(present, losses, 0.0)) / jnp.maximum(
