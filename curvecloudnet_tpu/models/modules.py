@@ -181,13 +181,18 @@ def _group_conv(local_nn: MLP, attend_nn: Optional[MLP], step: StepSpec,
                else pos_dst[:, :, None, :])
         if x_src is not None:
             # one packed row gather for (x_j, pos_j): bit-identical to the
-            # two separate gathers (positions ride as exact f32 bit-splits)
-            xj, pj = neighbors.gather_neighbors_with_pos(x_src, pos_src, idx)
+            # two separate gathers (positions ride as exact f32 bit-splits;
+            # k-major additionally dispatches to the tile-unique MXU gather)
+            xj, pj = neighbors.gather_neighbors_with_pos(
+                x_src, pos_src, idx, layout="kq" if k_major else None,
+                train=train)
             rel = pj - dst.astype(jnp.float32)
             if step.normalize_radius and step.radius:
                 rel = rel / step.radius
             return jnp.concatenate([xj, rel.astype(xj.dtype)], axis=-1)
-        rel = neighbors.gather_neighbors(pos_src, idx) - dst
+        rel = neighbors.gather_neighbors(
+            pos_src, idx, layout="kq" if k_major else None,
+            train=train) - dst
         if step.normalize_radius and step.radius:
             rel = rel / step.radius
         return rel
@@ -790,7 +795,8 @@ class EdgeConvStep(nn.Module):
                     # follows the transposed index shape (see _group_conv)
                     u, v = _split_uv(dense)
                     return (neighbors.gather_neighbors(
-                        u, jnp.swapaxes(nbr_idx, 1, 2))
+                        u, jnp.swapaxes(nbr_idx, 1, 2), layout="kq",
+                        train=False)
                         + v[:, None, :, :])
 
                 fused = _fused_group_eval(
@@ -807,7 +813,8 @@ class EdgeConvStep(nn.Module):
                 def first_map_km_t(dense):
                     u, v = _split_uv(dense)
                     return (neighbors.gather_neighbors(
-                        u, jnp.swapaxes(nbr_idx, 1, 2))
+                        u, jnp.swapaxes(nbr_idx, 1, 2), layout="kq",
+                        train=True)
                         + v[:, None, :, :])
 
                 fused = _fused_group_train(

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import functools
 import os
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -477,19 +478,54 @@ def add_self_loops(idx: jax.Array, q_valid: jax.Array) -> jax.Array:
     return jnp.concatenate([self_idx, idx], axis=-1)
 
 
-def gather_neighbors(x: jax.Array, idx: jax.Array) -> jax.Array:
+def _tile_gather_on(train: bool) -> bool:
+    """Tile-unique gather dispatch: measured a clear win on the TRAIN
+    step (the VJP's unique scatter-add beats the Q*K-row scatter floor)
+    and ~neutral at eval (the prep sorts eat the fwd gather saving), so
+    the default enables it for training only.  CCN_TILE_GATHER: 0 = off,
+    train (default) = train steps, 1 = everywhere (A/B)."""
+    mode = os.environ.get("CCN_TILE_GATHER", "train")
+    if mode == "0" or jax.default_backend() in ("cpu",):
+        return False
+    return mode == "1" or (mode == "train" and train)
+
+
+def gather_neighbors(x: jax.Array, idx: jax.Array,
+                     layout: Optional[str] = None,
+                     train: bool = False) -> jax.Array:
     """Gather features for dense neighbor indices.
 
     x: (B, N, C); idx: (B, Q, K) with -1 padding -> (B, Q, K, C) with zeros
     at padded slots (the FRNN ``frnn_gather`` equivalent, dgcnn.py:172).
+
+    ``layout="kq"``: idx is (B, K, Q) position-major over *curve-ordered*
+    queries -> (B, K, Q, C).  On TPU this dispatches to the tile-unique
+    one-hot MXU gather (ops/pallas_gather.py) when profitable: consecutive
+    queries share ~7x of their neighbor rows, so fetching each tile's
+    unique rows once and routing them on the MXU beats the ~7ns/row HBM
+    gather floor — and its VJP replaces the Q*K-row scatter.
     """
+    if layout == "kq" and _tile_gather_on(train):
+        from . import pallas_gather as pg
+
+        k, q = idx.shape[1], idx.shape[2]
+        if pg.viable(x.shape[1], q, k, x.shape[-1]):
+            # python loop over B, NOT vmap: vmapping the spill lax.cond
+            # batches its predicate, which lowers to BOTH branches
+            # executing plus a select — the fallback gather/scatter then
+            # runs every step (measured +40 ms/step)
+            out = jnp.stack([pg.gather_rows(x[b], idx[b])
+                             for b in range(x.shape[0])])
+            return jnp.where((idx >= 0)[..., None], out, 0.0)
     safe = jnp.maximum(idx, 0)
     out = jax.vmap(lambda xb, ib: xb[ib])(x, safe)
     return jnp.where((idx >= 0)[..., None], out, 0.0)
 
 
 def gather_neighbors_with_pos(x: jax.Array, pos: jax.Array,
-                              idx: jax.Array):
+                              idx: jax.Array,
+                              layout: Optional[str] = None,
+                              train: bool = False):
     """One combined row gather of (features, exact f32 positions).
 
     HBM gathers charge per ROW (~7ns on v5e regardless of width), so
@@ -502,10 +538,27 @@ def gather_neighbors_with_pos(x: jax.Array, pos: jax.Array,
     x: (B, N, C), pos: (B, N, 3), idx: (B, Q, K) with -1 padding.
     Returns (x_nbr (B, Q, K, C), pos_nbr (B, Q, K, 3) float32); padded
     slots are zero in both.
+
+    ``layout="kq"``: see :func:`gather_neighbors` — idx (B, K, Q), outputs
+    (B, K, Q, *), tile-unique kernel when profitable (positions then ride
+    as exact 3x-bf16 residual triplets: bit-split pairs are unsafe under
+    the kernel's 0 * x one-hot products).
     """
     from .interpolate import _pack_f32_as_2bf16, _unpack_2bf16_as_f32
 
     pos = pos.astype(jnp.float32)
+    if layout == "kq" and _tile_gather_on(train):
+        from . import pallas_gather as pg
+
+        k, q = idx.shape[1], idx.shape[2]
+        extra = 3 if x.dtype == jnp.float32 else 9
+        if pg.viable(x.shape[1], q, k, x.shape[-1] + extra):
+            res = [pg.gather_rows_with_pos(x[b], pos[b], idx[b])
+                   for b in range(x.shape[0])]   # no vmap: see above
+            x_nbr = jnp.stack([r[0] for r in res])
+            p_nbr = jnp.stack([r[1] for r in res])
+            m = (idx >= 0)[..., None]
+            return jnp.where(m, x_nbr, 0.0), jnp.where(m, p_nbr, 0.0)
     if x.dtype == jnp.float32:
         rec = jnp.concatenate([x, pos], axis=-1)
         rec_nbr = gather_neighbors(rec, idx)

@@ -343,6 +343,36 @@ def main():
 
     check("pallas_group_train fwd+bwd", group_train_check)
 
+    def tile_gather_check():
+        from curvecloudnet_tpu.ops import pallas_gather as pg
+
+        rng = np.random.default_rng(11)
+        n, q, k, c = 4096, 1536, 21, 70
+        base = np.arange(q)[:, None] * (n // q)
+        idx = np.clip(base + rng.integers(-60, 60, (q, k)), 0, n - 1)
+        idx[rng.random((q, k)) < 0.03] = -1
+        idx_kq = jnp.asarray(idx.T.astype(np.int32))
+        src = jnp.asarray(rng.normal(size=(n, c)).astype(np.float32)
+                          ).astype(jnp.bfloat16)
+        pos = jnp.asarray(rng.uniform(-100, 100, (n, 3)).astype(np.float32))
+        got = np.asarray(jax.jit(pg.gather_rows)(src, idx_kq))
+        want = np.asarray(src[jnp.maximum(idx_kq, 0)])
+        assert (got == want).all(), "expand fwd not exact"
+        xg, pgout = jax.jit(pg.gather_rows_with_pos)(src, pos, idx_kq)
+        assert (np.asarray(pgout)
+                == np.asarray(pos[jnp.maximum(idx_kq, 0)])).all(), \
+            "triplet positions not exact"
+        cot = jnp.asarray(rng.normal(size=(k, q, c)).astype(np.float32))
+        gk = jax.jit(jax.grad(lambda s: jnp.sum(
+            pg.gather_rows(s, idx_kq).astype(jnp.float32) * cot)))(src)
+        gr = jax.jit(jax.grad(lambda s: jnp.sum(
+            s[jnp.maximum(idx_kq, 0)].astype(jnp.float32) * cot)))(src)
+        a, b = np.asarray(gr, np.float32), np.asarray(gk, np.float32)
+        rel = np.abs(b - a).max() / max(np.abs(a).max(), 1e-3)
+        assert rel < 5e-2, f"collapse bwd relmax {rel}"
+
+    check("pallas_gather tile-unique fwd+bwd", tile_gather_check)
+
     if FAILURES:
         print(f"SMOKE FAILED: {FAILURES}", flush=True)
         sys.exit(1)
