@@ -57,10 +57,14 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 # Tile geometry: NT*UMAX bounds the unique-fetch and backward-scatter
-# row counts, so bigger tiles amortize better as long as UMAX covers the
-# per-tile unique count (measured ~730 max at the flagship edge rows for
-# 256-query tiles; the spill cond falls back exactly when exceeded).
-TILE_Q = 256
+# row counts, so bigger tiles amortize better — but UMAX must cover the
+# per-tile unique count at EVERY row the kernel serves, since escapees
+# drop (with telemetry).  128-query tiles measure 518 max uniques at the
+# flagship edge rows and 662 at a 3x-sparser synthetic row (the margin
+# regression test), ~2x headroom under the 1024 budget; 256-query tiles
+# hit 1244 at the sparse row and were reverted despite ~1 ms less
+# fetch+scatter.
+TILE_Q = 128
 UMAX = 1024
 
 

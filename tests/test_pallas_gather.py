@@ -119,3 +119,32 @@ def test_nonfinite_source_rows_do_not_poison_tiles():
     assert np.isfinite(got).all()
     valid = (idx.T >= 0)
     np.testing.assert_array_equal(got[valid], src[idx.T[valid]])
+
+
+def test_edge_row_unique_margin():
+    """The shipped UMAX budget holds with margin at flagship-like edge
+    rows (self-row kNN over curve-ordered realistic synthetic lidar) —
+    the contract behind dropping the runtime spill fallback."""
+    from curvecloudnet_tpu.data.synthetic import synthetic_lidar_batch
+    from curvecloudnet_tpu.ops import sampling
+
+    rng = np.random.default_rng(0)
+    pos, _, cid, valid, _ = synthetic_lidar_batch(rng, 1, 12288)
+    sel, sval = sampling.curve_fps(
+        jnp.asarray(pos), jnp.asarray(cid), jnp.asarray(valid),
+        arclen_spacing=0.007, budget=7680)
+    p = np.asarray(jnp.take_along_axis(jnp.asarray(pos), sel[..., None],
+                                       axis=1))[0]
+    ok = np.asarray(sval)[0]
+    p = p[ok]
+    n, k = len(p), 21
+    idx = np.zeros((n, k), np.int32)
+    for s in range(0, n, 2048):
+        d = ((p[s:s + 2048, None, :] - p[None, :, :]) ** 2).sum(-1)
+        idx[s:s + 2048] = np.argpartition(d, k, axis=1)[:, :k]
+    t = pg.TILE_Q
+    worst = max(len(np.unique(idx[i:i + t].ravel()))
+                for i in range(0, n - t + 1, t))
+    # >=25% headroom below the budget at the densest tile
+    assert worst <= pg.UMAX * 0.75, worst
+    assert pg.TILE_Q <= 128  # larger tiles measured over-budget here
