@@ -66,11 +66,13 @@ def _fused_group_eval(module: nn.Module, spec: ModelSpec, step: StepSpec,
     """
     import os
 
-    # Default: sa-geo + SA fused, edge NOT — measured on v5e at 36864:
-    # sageo +2.1%, sa +1.3%, edge -2.6% (the per-level edge kernels are
-    # small wins per call but each custom-call is a scheduling barrier
-    # that exposes async-copy latency; see CLAUDE.md round-3 notes).
-    env = os.environ.get("CCN_FUSED_GROUP", "sageo,sa")
+    # Default: all three families fused.  Edge was -2.6% when its h1 came
+    # from the XLA gather (each custom-call is a scheduling barrier that
+    # exposed async-copy latency), but with the tile-unique gather
+    # (CCN_TILE_GATHER=1) feeding the k-major slab directly the combo is
+    # a measured win on v5e: nuScenes 576.8k -> 615.0k, KITTI 504.6k ->
+    # 538.9k pts/s (super-additive — each knob alone ~+1.5%).
+    env = os.environ.get("CCN_FUSED_GROUP", "sageo,sa,edge")
     interp = env == "interp"
     enabled = env in ("1", "interp") or family in env.split(",")
     if (not enabled or step.aggr_type not in ("attend", "max")

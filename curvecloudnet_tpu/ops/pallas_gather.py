@@ -80,12 +80,15 @@ def _pick_pp(k: int) -> int:
     return 3
 
 
-def tile_prep(idx: jax.Array, tile_q: int = TILE_Q, umax: int = UMAX):
+def tile_prep(idx: jax.Array, tile_q: int = TILE_Q, umax: int = UMAX,
+              n_src: Optional[int] = None):
     """Per-tile dedup of neighbor indices.
 
     idx: (Q, K) int32, non-negative (caller clamps -1 padding to 0; the
     padded slots are where-masked downstream exactly like the plain
-    gather's ``safe`` clamp).  Q must be a multiple of tile_q.
+    gather's ``safe`` clamp).  Q must be a multiple of tile_q.  n_src
+    (exclusive index bound, defaults to Q for the self-row case) enables
+    the packed single-operand sorts when ``(tk+1) * n_src < 2^31``.
 
     Returns (u_list (NT, umax) int32, local (NT, T, K) int32, spill bool).
     ``u_list`` slots past a tile's unique count hold duplicate leftovers
@@ -97,18 +100,39 @@ def tile_prep(idx: jax.Array, tile_q: int = TILE_Q, umax: int = UMAX):
     flat = idx.reshape(nt, tile_q * k)
     tk = tile_q * k
     umax = min(umax, _round_up(tk, 128))
+    n_src = q if n_src is None else n_src
     pos = jnp.broadcast_to(jnp.arange(tk, dtype=jnp.int32)[None], flat.shape)
-    s_idx, s_pos = jax.lax.sort((flat, pos), dimension=1, num_keys=1)
-    is_new = jnp.concatenate(
-        [jnp.ones((nt, 1), bool), s_idx[:, 1:] != s_idx[:, :-1]], axis=1)
-    urank = jnp.cumsum(is_new.astype(jnp.int32), axis=1) - 1
-    # compaction: first occurrences sort to the front in rank order
-    key2 = jnp.where(is_new, urank, jnp.int32(2 ** 30))
-    _, u_full = jax.lax.sort((key2, s_idx), dimension=1, num_keys=1)
+    if (tk + 1) * n_src < 2 ** 31:
+        # each (key, payload) pair packed into ONE int32 so every sort
+        # moves a single operand (a variadic sort permutes every operand
+        # through the full bitonic network — ~2x the data movement).
+        # Ranges: sort1 key < n_src, payload < tk; sort2 key <= tk
+        # (sentinel rank tk sinks duplicates — payload ties irrelevant:
+        # non-sentinel ranks are unique, leftover slots never read),
+        # payload < n_src; sort3 key < tk, payload <= tk.  Worst case
+        # (tk+1)*n_src (flagship 131072 * 4225 ≈ 5.5e8 < 2^31).
+        s1 = jax.lax.sort(flat * jnp.int32(tk) + pos, dimension=1)
+        s_idx, s_pos = s1 // tk, s1 % tk
+        is_new = jnp.concatenate(
+            [jnp.ones((nt, 1), bool), s_idx[:, 1:] != s_idx[:, :-1]], axis=1)
+        urank = jnp.cumsum(is_new.astype(jnp.int32), axis=1) - 1
+        key2 = jnp.where(is_new, urank, jnp.int32(tk))
+        u_full = jax.lax.sort(
+            key2 * jnp.int32(n_src) + s_idx, dimension=1) % n_src
+        local = jax.lax.sort(
+            s_pos * jnp.int32(tk + 1) + urank, dimension=1) % (tk + 1)
+    else:
+        s_idx, s_pos = jax.lax.sort((flat, pos), dimension=1, num_keys=1)
+        is_new = jnp.concatenate(
+            [jnp.ones((nt, 1), bool), s_idx[:, 1:] != s_idx[:, :-1]], axis=1)
+        urank = jnp.cumsum(is_new.astype(jnp.int32), axis=1) - 1
+        # compaction: first occurrences sort to the front in rank order
+        key2 = jnp.where(is_new, urank, jnp.int32(2 ** 30))
+        _, u_full = jax.lax.sort((key2, s_idx), dimension=1, num_keys=1)
+        # un-sort: each original slot's unique-rank (its local id)
+        _, local = jax.lax.sort((s_pos, urank), dimension=1, num_keys=1)
     u_list = (u_full[:, :umax] if tk >= umax
               else jnp.pad(u_full, ((0, 0), (0, umax - tk))))
-    # un-sort: each original slot's unique-rank (its local id)
-    _, local = jax.lax.sort((s_pos, urank), dimension=1, num_keys=1)
     # escapee rows (unique rank >= umax): counted, not fetched — their
     # slots one-hot to zero rows.  A runtime lax.cond fallback was
     # measured at ~22 ms/step of pure conditional overhead (scheduling
@@ -230,7 +254,7 @@ def _gather_fwd(src, idx_kq, interpret):
     n, c = src.shape
     qp = _round_up(q, TILE_Q)
     idx_p = (jnp.pad(idx_kq, ((0, 0), (0, qp - q))) if qp != q else idx_kq)
-    u_list, local, spilled = tile_prep(idx_p.T, TILE_Q, UMAX)
+    u_list, local, spilled = tile_prep(idx_p.T, TILE_Q, UMAX, n_src=n)
     from . import telemetry
 
     if telemetry.active():
