@@ -494,6 +494,24 @@ def _tile_gather_on(train: bool) -> bool:
     return mode == "1" or (mode == "train" and train)
 
 
+def _tile_gather_preps(idx: jax.Array, n_src: int):
+    """Per-batch-row tile-gather preps, memoized on the idx array.
+
+    The two dense layers of an edge conv (and the with-pos + plain
+    fetches of one grouping) gather with the SAME kNN table — the three
+    prep sorts (ops/pallas_gather.tile_prep) are identical, so they are
+    shared through the trace-scoped memo that models/base.py enters
+    (segments.memo_scope).  Keyed by array identity + n_src.
+    """
+    from . import pallas_gather as pg
+    from .segments import _memo
+
+    def build():
+        return [pg.gather_prep(idx[b], n_src) for b in range(idx.shape[0])]
+
+    return _memo(f"tile_gather_prep.{n_src}", build, idx)
+
+
 def gather_neighbors(x: jax.Array, idx: jax.Array,
                      layout: Optional[str] = None,
                      train: bool = False) -> jax.Array:
@@ -518,7 +536,8 @@ def gather_neighbors(x: jax.Array, idx: jax.Array,
             # batches its predicate, which lowers to BOTH branches
             # executing plus a select — the fallback gather/scatter then
             # runs every step (measured +40 ms/step)
-            out = jnp.stack([pg.gather_rows(x[b], idx[b])
+            preps = _tile_gather_preps(idx, x.shape[1])
+            out = jnp.stack([pg.gather_rows(x[b], idx[b], prep=preps[b])
                              for b in range(x.shape[0])])
             return jnp.where((idx >= 0)[..., None], out, 0.0)
     safe = jnp.maximum(idx, 0)
@@ -557,18 +576,33 @@ def gather_neighbors_with_pos(x: jax.Array, pos: jax.Array,
         k, q = idx.shape[1], idx.shape[2]
         extra = 3 if x.dtype == jnp.float32 else 9
         if pg.viable(x.shape[1], q, k, x.shape[-1] + extra):
-            res = [pg.gather_rows_with_pos(x[b], pos[b], idx[b])
+            preps = _tile_gather_preps(idx, x.shape[1])
+            res = [pg.gather_rows_with_pos(x[b], pos[b], idx[b],
+                                           prep=preps[b])
                    for b in range(x.shape[0])]   # no vmap: see above
             x_nbr = jnp.stack([r[0] for r in res])
             p_nbr = jnp.stack([r[1] for r in res])
             m = (idx >= 0)[..., None]
             return jnp.where(m, x_nbr, 0.0), jnp.where(m, p_nbr, 0.0)
+    xb = x if x.dtype == jnp.float32 else x.astype(jnp.bfloat16)
+    if (xb.shape[-1] * xb.dtype.itemsize) % 256 == 0:
+        # The feature row alone fills whole 256-byte HBM segments (the
+        # per-row transfer granularity), so packing the position on top
+        # spills into an EXTRA segment that the VJP scatter then pays
+        # for every row — even though d_pos is never consumed (positions
+        # are inputs, not parameters).  Two gathers cost the same number
+        # of segments forward, and the stop_grad position fetch has no
+        # backward at all: measured 6.2 -> ~3.1 ms on the flagship
+        # sa-geo h1 scatter (bf16[368640, 134] -> 128).
+        x_nbr = gather_neighbors(xb, idx)
+        p_pack = jax.lax.stop_gradient(_pack_f32_as_2bf16(pos))
+        p_nbr = _unpack_2bf16_as_f32(gather_neighbors(p_pack, idx))
+        return x_nbr, p_nbr
     if x.dtype == jnp.float32:
         rec = jnp.concatenate([x, pos], axis=-1)
         rec_nbr = gather_neighbors(rec, idx)
         return rec_nbr[..., :-3], rec_nbr[..., -3:]
-    rec = jnp.concatenate([x.astype(jnp.bfloat16), _pack_f32_as_2bf16(pos)],
-                          axis=-1)
+    rec = jnp.concatenate([xb, _pack_f32_as_2bf16(pos)], axis=-1)
     rec_nbr = gather_neighbors(rec, idx)
     return rec_nbr[..., :-6], _unpack_2bf16_as_f32(rec_nbr[..., -6:])
 

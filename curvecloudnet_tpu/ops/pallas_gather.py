@@ -63,9 +63,13 @@ from jax.experimental.pallas import tpu as pltpu
 # flagship edge rows and 662 at a 3x-sparser synthetic row (the margin
 # regression test), ~2x headroom under the 1024 budget; 256-query tiles
 # hit 1244 at the sparse row and were reverted despite ~1 ms less
-# fetch+scatter.
-TILE_Q = 128
-UMAX = 1024
+# fetch+scatter.  Env-overridable for A/B sweeps (CCN_TILE_Q /
+# CCN_TILE_UMAX); the one-hot expansion cost scales with UMAX, so a
+# tighter budget trades MXU time against overflow margin.
+import os as _os
+
+TILE_Q = int(_os.environ.get("CCN_TILE_Q", 128))
+UMAX = int(_os.environ.get("CCN_TILE_UMAX", 1024))
 
 
 def _round_up(x, m):
@@ -244,24 +248,33 @@ def _collapse(d_out, local, umax, interpret=False):
     )(d_out, local)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
-def _gather_core(src, idx_kq, interpret: bool):
-    return _gather_fwd(src, idx_kq, interpret)[0]
+def gather_prep(idx_kq: jax.Array, n_src: int):
+    """Prep for :func:`gather_rows`: (u_list, local, spilled, q).
 
-
-def _gather_fwd(src, idx_kq, interpret):
+    Split out so call sites that reuse one kNN table across several
+    gathers (the two dense layers of an edge conv, the with-pos and
+    plain fetches of one grouping) pay the three prep sorts ONCE —
+    ops/neighbors memoizes this per (idx array, n_src) for the trace.
+    """
     k, q = idx_kq.shape
-    n, c = src.shape
     qp = _round_up(q, TILE_Q)
-    idx_p = (jnp.pad(idx_kq, ((0, 0), (0, qp - q))) if qp != q else idx_kq)
-    u_list, local, spilled = tile_prep(idx_p.T, TILE_Q, UMAX, n_src=n)
-    from . import telemetry
+    idx_p = jnp.maximum(idx_kq, 0)
+    if qp != q:
+        idx_p = jnp.pad(idx_p, ((0, 0), (0, qp - q)))
+    u_list, local, spilled = tile_prep(idx_p.T, TILE_Q, UMAX, n_src=n_src)
+    return u_list, local, spilled
 
-    if telemetry.active():
-        telemetry.record(f"tile_gather_spill.q{q}.k{k}", spilled)
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _gather_core(src, u_list, local, interpret: bool):
+    return _gather_fwd(src, u_list, local, interpret)[0]
+
+
+def _gather_fwd(src, u_list, local, interpret):
+    n, c = src.shape
     rows = src[u_list.reshape(-1)].reshape(-1, u_list.shape[1], c)
     rows = jnp.where(jnp.isfinite(rows.astype(jnp.float32)), rows, 0)
-    out = _expand(rows, local, src.dtype, interpret=interpret)[:, :q, :c]
+    out = _expand(rows, local, src.dtype, interpret=interpret)
     # zero-element token carrying (n, dtype): residuals must be JAX types
     return out, (u_list, local, jnp.zeros((n, 0), src.dtype))
 
@@ -270,28 +283,33 @@ def _gather_bwd(interpret, res, d_out):
     u_list, local, dtok = res
     n, sdt = dtok.shape[0], dtok.dtype
     c = d_out.shape[-1]
-    q = d_out.shape[1]
-    qp = local.shape[0] * local.shape[1]
-    d = (jnp.pad(d_out, ((0, 0), (0, qp - q), (0, 0)))
-         if qp != q else d_out)
-    du = _collapse(d, local, u_list.shape[1], interpret=interpret)
+    du = _collapse(d_out, local, u_list.shape[1], interpret=interpret)
     d_src = jnp.zeros((n, c), jnp.float32).at[u_list.reshape(-1)].add(
         du.reshape(-1, c), mode="drop")
-    return d_src.astype(sdt), None
+    return d_src.astype(sdt), None, None
 
 
 _gather_core.defvjp(_gather_fwd, _gather_bwd)
 
 
 def gather_rows(src: jax.Array, idx_kq: jax.Array,
-                interpret: bool = False) -> jax.Array:
+                interpret: bool = False, prep=None) -> jax.Array:
     """``src[max(idx, 0)]`` k-major via the tile-unique kernel.
 
     src (N, C); idx_kq (K, Q) int32, -1 padding allowed -> (K, Q, C).
     Callers mask padded slots themselves (same contract as
-    :func:`neighbors.gather_neighbors`).
+    :func:`neighbors.gather_neighbors`).  ``prep`` is an optional
+    precomputed :func:`gather_prep` result.
     """
-    return _gather_core(src, jnp.maximum(idx_kq, 0), interpret)
+    k, q = idx_kq.shape
+    if prep is None:
+        prep = gather_prep(idx_kq, src.shape[0])
+    u_list, local, spilled = prep
+    from . import telemetry
+
+    if telemetry.active():
+        telemetry.record(f"tile_gather_spill.q{q}.k{k}", spilled)
+    return _gather_core(src, u_list, local, interpret)[:, :q]
 
 
 def split3(x: jax.Array):
@@ -321,7 +339,7 @@ def merge3(rec: jax.Array) -> jax.Array:
 
 
 def gather_rows_with_pos(x: jax.Array, pos: jax.Array, idx_kq: jax.Array,
-                         interpret: bool = False):
+                         interpret: bool = False, prep=None):
     """Combined (features, exact f32 positions) k-major tile-unique gather.
 
     x (N, C) bf16/f32, pos (N, 3), idx_kq (K, Q) ->
@@ -331,10 +349,10 @@ def gather_rows_with_pos(x: jax.Array, pos: jax.Array, idx_kq: jax.Array,
     """
     if x.dtype == jnp.float32:
         rec = jnp.concatenate([x, pos.astype(jnp.float32)], axis=-1)
-        out = gather_rows(rec, idx_kq, interpret=interpret)
+        out = gather_rows(rec, idx_kq, interpret=interpret, prep=prep)
         return out[..., :-3], out[..., -3:]
     rec = jnp.concatenate([x.astype(jnp.bfloat16), split3(pos)], axis=-1)
-    out = gather_rows(rec, idx_kq, interpret=interpret)
+    out = gather_rows(rec, idx_kq, interpret=interpret, prep=prep)
     return out[..., :-9], merge3(out[..., -9:])
 
 

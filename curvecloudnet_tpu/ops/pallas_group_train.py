@@ -322,11 +322,16 @@ def _softmax_w(logits_plane, mask, mx, den):
 
 def _b_att_kernel(h1_ref, m_ref, dout_ref, out_ref, mx_ref, den_ref, *refs,
                   cfg: _Cfg):
-    """Attend-head backward: T_a slab, dWa_1/dba_1, BNa raw reductions."""
+    """Attend-head backward: dWa_1/dba_1 + BNa raw reductions.
+
+    Pure-reduction pass: the T_a cotangent slab is NOT written — B_msg
+    recomputes it in-register (one extra (tile_m, co) x (co, A) dot per
+    plane), which beats the (B, K, M, A) slab round-trip at flagship
+    sa-geo scale (~1.9 ms of HBM traffic vs ~1 ms of MXU recompute).
+    """
     b, t, j, nb, nt, nj = _grid_ids()
     it = iter(refs)
     consts = _unpack_consts(it, cfg, cfg.n_loc, cfg.n_att)
-    ta_ref = next(it)
     dwa1_ref, dba1_ref = next(it), next(it)
     rs_ref, rp_ref = next(it), next(it)
     dwa1_s, dba1_s, rs_s, rp_s = next(it), next(it), next(it), next(it)
@@ -352,7 +357,6 @@ def _b_att_kernel(h1_ref, m_ref, dout_ref, out_ref, mx_ref, den_ref, *refs,
         dba1_s[:] = dba1_s[:] + jnp.sum(dlogit, axis=0, keepdims=True)
         dag = _dot_t(dlogit, att_denses[1][0][:], cdt)
         ta = dag * _dact(kept["a_y0"], cfg.attend_act) * mask
-        ta_ref[0, p] = ta.astype(ta_ref.dtype)
         rs_s[:] = rs_s[:] + jnp.sum(ta, axis=0, keepdims=True)
         rp_s[:] = rp_s[:] + jnp.sum(ta * kept["a_xhat0"], axis=0,
                                     keepdims=True)
@@ -375,12 +379,14 @@ def _b_msg_kernel(h1_ref, m_ref, dout_ref, *refs, cfg: _Cfg):
 
     Emits T_{L-1}, dW_{L-1}/db_{L-1}, (attend: dWa_0/dba_0 using the
     finalized BNa backward coefficients), and BN_{L-1} raw reductions.
+    The attend T_a cotangent is recomputed in-register from the chain
+    values (see _b_att_kernel) instead of arriving as a slab.
     """
     b, t, j, nb, nt, nj = _grid_ids()
     it = iter(refs)
     attend = cfg.aggr == "attend"
     if attend:
-        mx_ref, den_ref, ta_ref = next(it), next(it), next(it)
+        out_ref, mx_ref, den_ref = next(it), next(it), next(it)
         ginva_ref, cga_ref, cpa_ref = next(it), next(it), next(it)
     else:
         mx_ref, cnt_ref = next(it), next(it)
@@ -410,7 +416,8 @@ def _b_msg_kernel(h1_ref, m_ref, dout_ref, *refs, cfg: _Cfg):
 
     cdt = cfg_cdt(cfg)
     dout = dout_ref[0].astype(jnp.float32)
-    keep = (f"v{cfg.n_loc}", f"u{li}", f"xhat{li}", f"y{li}", "a_xhat0")
+    keep = (f"v{cfg.n_loc}", f"u{li}", f"xhat{li}", f"y{li}", "a_xhat0",
+            "a_y0")
     for p in range(cfg.k_planes):
         mask = _read_mask_col(m_ref, j, p, cfg.k_planes)
         if attend:
@@ -419,7 +426,9 @@ def _b_msg_kernel(h1_ref, m_ref, dout_ref, *refs, cfg: _Cfg):
             msg = kept[f"v{cfg.n_loc}"]
             w = _softmax_w(kept["v"], mask, mx_ref[0], den_ref[0])
             dmsg = w * dout
-            ta = ta_ref[0, p].astype(jnp.float32)
+            dlogit = w * (msg - out_ref[0]) * dout * mask
+            dag = _dot_t(dlogit, att_denses[1][0][:], cdt)
+            ta = dag * _dact(kept["a_y0"], cfg.attend_act) * mask
             dg1 = ginva_ref[:] * (ta - mask * (cga_ref[:]
                                                + kept["a_xhat0"] * cpa_ref[:]))
             dwa0_s[:] = dwa0_s[:] + _dot_wgrad(msg, dg1, cdt)
@@ -642,32 +651,31 @@ def _pass_out(cfg, h1_t, mask2, fin):
 def _pass_b_att(cfg, h1_t, mask2, fin, dout, out, mx, den):
     bsz, kp, mp, c0 = h1_t.shape
     co = cfg.out_c
-    a_in, a_hidden = cfg.att_dims[1], cfg.att_dims[0]
+    a_in = cfg.att_dims[1]
     consts, cspecs = _const_operands(cfg, fin, cfg.n_loc, cfg.n_att)
     f32 = jnp.float32
-    ta, dwa1, dba1, rs, rp = _call(
+    dwa1, dba1, rs, rp = _call(
         cfg,
         functools.partial(_b_att_kernel, cfg=cfg),
         _grid(cfg, bsz, kp, mp),
         [h1_t, mask2, dout, out, mx, den] + consts,
         [_slab_spec(cfg, c0), _mask_spec(cfg, kp)]
         + [_row_spec(cfg, co)] * 4 + cspecs,
-        [jax.ShapeDtypeStruct((bsz, kp, mp, a_in), h1_t.dtype),
-         jax.ShapeDtypeStruct((a_in, co), f32),
+        [jax.ShapeDtypeStruct((a_in, co), f32),
          jax.ShapeDtypeStruct((1, co), f32),
          jax.ShapeDtypeStruct((1, a_in), f32),
          jax.ShapeDtypeStruct((1, a_in), f32)],
-        [_slab_spec(cfg, a_in), _small_spec((a_in, co)),
+        [_small_spec((a_in, co)),
          _small_spec((1, co)), _small_spec((1, a_in)),
          _small_spec((1, a_in))],
         [pltpu.VMEM((a_in, co), f32), pltpu.VMEM((1, co), f32),
          pltpu.VMEM((1, a_in), f32), pltpu.VMEM((1, a_in), f32)],
     )
-    return ta, dwa1, dba1, rs, rp
+    return dwa1, dba1, rs, rp
 
 
 def _pass_b_msg(cfg, h1_t, mask2, fin, dout, extra):
-    """extra: attend -> (mx, den, ta, ginva, cga, cpa); max -> (mx, cnt)."""
+    """extra: attend -> (out, mx, den, ginva, cga, cpa); max -> (mx, cnt)."""
     bsz, kp, mp, c0 = h1_t.shape
     co = cfg.out_c
     attend = cfg.aggr == "attend"
@@ -677,13 +685,13 @@ def _pass_b_msg(cfg, h1_t, mask2, fin, dout, extra):
                                      cfg.n_att if attend else 0)
     f32 = jnp.float32
     if attend:
-        mx, den, ta, ginva, cga, cpa = extra
+        out, mx, den, ginva, cga, cpa = extra
         a_in = cfg.att_dims[1]
-        ops = [h1_t, mask2, dout, mx, den, ta,
+        ops = [h1_t, mask2, dout, out, mx, den,
                ginva.reshape(1, -1), cga.reshape(1, -1), cpa.reshape(1, -1)]
         ispecs = [_slab_spec(cfg, c0), _mask_spec(cfg, kp),
                   _row_spec(cfg, co), _row_spec(cfg, co), _row_spec(cfg, co),
-                  _slab_spec(cfg, a_in), _small_spec((1, a_in)),
+                  _row_spec(cfg, co), _small_spec((1, a_in)),
                   _small_spec((1, a_in)), _small_spec((1, a_in))]
     else:
         mx, cnt = extra
@@ -825,7 +833,7 @@ def _core_bwd(cfg, res, cts):
     d_att_bns, d_att_denses = [], []
     if cfg.aggr == "attend":
         out_p, mx_p, den_p = extras
-        ta, dwa1, dba1, rsa, rpa = _pass_b_att(
+        dwa1, dba1, rsa, rpa = _pass_b_att(
             cfg, h1_t, mask2, fin, d_out_p, out_p, mx_p, den_p)
         ga, _ = params["att_bns"][0]
         ginva = (ga.reshape(1, -1) * astats[0][1].reshape(1, -1))[0]
@@ -833,7 +841,7 @@ def _core_bwd(cfg, res, cts):
         d_att_bns = [(rpa[0], rsa[0])]
         tl, dw, db, dwa0, dba0, rs, rp = _pass_b_msg(
             cfg, h1_t, mask2, fin, d_out_p,
-            (mx_p, den_p, ta, ginva, cga, cpa))
+            (out_p, mx_p, den_p, ginva, cga, cpa))
         d_att_denses = [(dwa0, dba0[0]), (dwa1, dba1[0])]
     else:
         out_p, cnt_p = extras
@@ -941,11 +949,18 @@ def grouped_train_reduce(h1, mask, local_pdict, n_local_layers,
     params = {"bns": bns, "denses": denses,
               "att_bns": att_bns, "att_denses": att_denses}
     dims = (c1,) + tuple(w.shape[1] for w, _ in denses)
+    import os as _os
+
+    if k_planes is None:
+        # per-grid-step Mosaic overhead is ~1-2 us; fatter K-plane groups
+        # cut the step count (VMEM allowing) — env knob for A/B sweeps
+        env_kp = _os.environ.get("CCN_GROUP_TRAIN_KP")
+        k_planes = int(env_kp) if env_kp else _pick_k_planes(k)
     cfg = _Cfg(
         dims=dims, att_dims=att_dims, aggr=aggr, act=act,
         attend_act=attend_act, eps=eps,
         tile_m=tile_m if tile_m is not None else _pick_tile_m(m),
-        k_planes=k_planes if k_planes is not None else _pick_k_planes(k),
+        k_planes=k_planes,
         interpret=interpret, cdt=jnp.dtype(h1.dtype).name
         if jnp.dtype(h1.dtype) != jnp.float32 else "float32")
     out, (loc_stats, att_stats, n) = _grouped_core(
