@@ -545,6 +545,56 @@ def gather_neighbors(x: jax.Array, idx: jax.Array,
     return jnp.where((idx >= 0)[..., None], out, 0.0)
 
 
+@jax.custom_vjp
+def _packed_gather_xgrad(x, p_pack, idx):
+    """Packed ``(x | p_pack)`` row gather whose BACKWARD scatters ONLY the
+    feature channels.
+
+    Train-path companion of :func:`gather_neighbors_with_pos`: the packed
+    forward fetch halves the row count vs two separate gathers (HBM
+    gathers charge per row), while the custom VJP keeps the backward
+    scatter at feature width — packing positions into the *autodiff*
+    record would widen every scattered cotangent row by the position
+    channels (256-byte segment spill, measured 6.2 -> ~3.1 ms on the
+    flagship sa-geo h1 scatter).  Positions are data, never functions of
+    parameters (downsampling selects them by integer indexing), so their
+    cotangent is dropped — callers stop-gradient them anyway.
+    """
+    rec = jnp.concatenate([x, p_pack], axis=-1)
+    safe = jnp.maximum(idx, 0)
+    out = jax.vmap(lambda xb, ib: xb[ib])(rec, safe)
+    out = jnp.where((idx >= 0)[..., None], out, 0.0)
+    c = x.shape[-1]
+    return out[..., :c], out[..., c:]
+
+
+def _packed_gather_xgrad_fwd(x, p_pack, idx):
+    # zero-sized proto carries x's (n, c) and dtype into the bwd rule
+    # (custom_vjp residual leaves must be JAX values, not shapes/dtypes)
+    proto = jnp.zeros((0,) + x.shape[1:], x.dtype)
+    return _packed_gather_xgrad(x, p_pack, idx), (idx, proto)
+
+
+def _packed_gather_xgrad_bwd(res, g):
+    d_xn, _ = g
+    idx, proto = res
+    _, n, c = proto.shape
+    # scatter in the cotangent's own dtype: casting bf16 cotangents to f32
+    # would double every scattered row to two 256-byte segments at the
+    # segment-aligned widths this path exists for (and the plain autodiff
+    # scatter this replaces accumulated in bf16 too)
+    d = jnp.where((idx >= 0)[..., None], d_xn, 0)
+    safe = jnp.maximum(idx, 0)
+    d_x = jax.vmap(
+        lambda gb, ib: jnp.zeros((n, c), gb.dtype)
+        .at[ib.reshape(-1)].add(gb.reshape(-1, c)))(d, safe)
+    return d_x.astype(proto.dtype), None, None
+
+
+_packed_gather_xgrad.defvjp(_packed_gather_xgrad_fwd,
+                            _packed_gather_xgrad_bwd)
+
+
 def gather_neighbors_with_pos(x: jax.Array, pos: jax.Array,
                               idx: jax.Array,
                               layout: Optional[str] = None,
@@ -585,24 +635,26 @@ def gather_neighbors_with_pos(x: jax.Array, pos: jax.Array,
             m = (idx >= 0)[..., None]
             return jnp.where(m, x_nbr, 0.0), jnp.where(m, p_nbr, 0.0)
     xb = x if x.dtype == jnp.float32 else x.astype(jnp.bfloat16)
-    if (xb.shape[-1] * xb.dtype.itemsize) % 256 == 0:
-        # The feature row alone fills whole 256-byte HBM segments (the
-        # per-row transfer granularity), so packing the position on top
-        # spills into an EXTRA segment that the VJP scatter then pays
-        # for every row — even though d_pos is never consumed (positions
-        # are inputs, not parameters).  Two gathers cost the same number
-        # of segments forward, and the stop_grad position fetch has no
-        # backward at all: measured 6.2 -> ~3.1 ms on the flagship
-        # sa-geo h1 scatter (bf16[368640, 134] -> 128).
-        x_nbr = gather_neighbors(xb, idx)
-        p_pack = jax.lax.stop_gradient(_pack_f32_as_2bf16(pos))
-        p_nbr = _unpack_2bf16_as_f32(gather_neighbors(p_pack, idx))
-        return x_nbr, p_nbr
+    p_pack = pos if x.dtype == jnp.float32 else _pack_f32_as_2bf16(pos)
+    if train:
+        # Packed forward fetch (one row gather, not two) + a custom VJP
+        # that scatters ONLY the feature channels: packing positions into
+        # the autodiff record would widen every backward cotangent row by
+        # the position channels — at 256-byte-segment-aligned feature
+        # widths that spills an extra HBM segment per scattered row
+        # (measured 6.2 -> ~3.1 ms on the flagship sa-geo h1 scatter,
+        # bf16[368640, 134] -> 128) — while two separate gathers pay a
+        # second full-row fetch forward (measured 1.79 ms for the
+        # bf16[368640, 6] pos gather alone; gathers are ROW-rate bound).
+        x_nbr, p_nbr = _packed_gather_xgrad(
+            xb, jax.lax.stop_gradient(p_pack), idx)
+        return x_nbr, (p_nbr if x.dtype == jnp.float32
+                       else _unpack_2bf16_as_f32(p_nbr))
     if x.dtype == jnp.float32:
         rec = jnp.concatenate([x, pos], axis=-1)
         rec_nbr = gather_neighbors(rec, idx)
         return rec_nbr[..., :-3], rec_nbr[..., -3:]
-    rec = jnp.concatenate([xb, _pack_f32_as_2bf16(pos)], axis=-1)
+    rec = jnp.concatenate([xb, p_pack], axis=-1)
     rec_nbr = gather_neighbors(rec, idx)
     return rec_nbr[..., :-6], _unpack_2bf16_as_f32(rec_nbr[..., -6:])
 

@@ -78,14 +78,15 @@ def lovasz_softmax(probs: jax.Array, labels: jax.Array,
     # serial (N*C) scatter, ~4 ms/step at 36k x 17).
     rows = jnp.broadcast_to(
         jnp.arange(n, dtype=jnp.int32)[:, None], (n, c))
-    neg_sorted, fg_sorted, valid_sorted, rows_sorted = jax.lax.sort(
-        (jax.lax.stop_gradient(-errors), fgf.astype(jnp.bfloat16),
-         jnp.broadcast_to(valid[:, None], (n, c)).astype(jnp.bfloat16),
-         rows),
+    neg_sorted, fg_sorted, rows_sorted = jax.lax.sort(
+        (jax.lax.stop_gradient(-errors), fgf.astype(jnp.bfloat16), rows),
         dimension=0, num_keys=1)
+    # validity rides in the key itself: valid errors are in [0, 1] so the
+    # negated key is <= 0, while invalid rows were filled with -1 -> +1.
+    # Recomputing it here drops a whole bf16 operand from the sort payload.
+    valid_sorted = (neg_sorted <= 0.0).astype(jnp.float32)
     errors_sorted = -neg_sorted
     fg_sorted = fg_sorted.astype(jnp.float32)
-    valid_sorted = valid_sorted.astype(jnp.float32)
 
     gts = fgf.sum(axis=0)  # (C,)
     intersection = gts[None, :] - jnp.cumsum(fg_sorted, axis=0)

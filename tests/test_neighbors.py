@@ -1,3 +1,4 @@
+import jax
 import numpy as np
 import jax.numpy as jnp
 
@@ -90,3 +91,31 @@ def test_gather_neighbors_with_pos_bit_identical(rng):
             np.asarray(xn), np.asarray(neighbors.gather_neighbors(x, idxj)))
         np.testing.assert_array_equal(
             np.asarray(pn), np.asarray(neighbors.gather_neighbors(posj, idxj)))
+    # 128-channel bf16 rows fill whole 256-byte HBM segments: train takes
+    # the split-fetch branch (VJP-scatter win), eval packs (row-rate win).
+    # Both must stay bit-identical to the two separate gathers.
+    x128 = jnp.array(np.tile(feat, (1, 1, 128 // feat.shape[-1] + 1))
+                     [:, :, :128], jnp.bfloat16)
+    for train in (False, True):
+        xn, pn = neighbors.gather_neighbors_with_pos(x128, posj, idxj,
+                                                     train=train)
+        np.testing.assert_array_equal(
+            np.asarray(xn), np.asarray(neighbors.gather_neighbors(x128, idxj)))
+        np.testing.assert_array_equal(
+            np.asarray(pn), np.asarray(neighbors.gather_neighbors(posj, idxj)))
+
+    # the train path's custom VJP (packed fwd, feature-only scatter bwd)
+    # must produce the same d_x as plain autodiff through the gather
+    def loss_train(xv):
+        xn, pn = neighbors.gather_neighbors_with_pos(xv, posj, idxj,
+                                                     train=True)
+        return jnp.sum(xn.astype(jnp.float32) * 0.5) + jnp.sum(pn * 0.0)
+
+    def loss_ref(xv):
+        xn = neighbors.gather_neighbors(xv, idxj)
+        return jnp.sum(xn.astype(jnp.float32) * 0.5)
+
+    xf = jnp.array(np.asarray(x128), jnp.float32)
+    np.testing.assert_allclose(np.asarray(jax.grad(loss_train)(xf)),
+                               np.asarray(jax.grad(loss_ref)(xf)),
+                               rtol=1e-6)
