@@ -48,5 +48,36 @@ def test_flagship_budgets_zero_overflow():
             worst[k] = max(worst.get(k, 0.0), v)
 
     overflows = {k: v for k, v in worst.items()
-                 if "overflow" in k and v > 0}
+                 if ("overflow" in k or "truncated" in k) and v > 0}
     assert not overflows, f"stage budget overflow: {overflows}"
+    # the shipped curve_window must hold the measured per-query neighbor
+    # demand with margin (the sa-geo kernels pay per window slot, so the
+    # window is calibrated tight — see configs/nuscenes.yaml)
+    w = next(s for s in cfg["model"]["steps"]
+             if s["step_name"] == "sa-geo").get("curve_window", 32)
+    assert worst.get("curve_window_wanted_max", 0.0) <= w, worst
+
+
+def test_curve_window_equivalence():
+    """A calibrated (small) candidate window keeps EXACTLY the same
+    neighbor set as an oversized one at the flagship sa-geo operating
+    point: the interleaved near-to-far slot order of a 2w+1 window is a
+    prefix of any larger window's, so the kept sets can only differ when
+    the small window truncates — which the telemetry counter flags."""
+    from curvecloudnet_tpu.ops import curve1d, sampling
+
+    rng = np.random.default_rng(7)
+    n = 6144
+    pos, _, cid, valid, _ = synthetic_lidar_batch(rng, 1, n, n_beams=4)
+    pos, cid, valid = (jnp.asarray(pos), jnp.asarray(cid),
+                       jnp.asarray(valid))
+    sel, sval = sampling.curve_fps(pos, cid, valid, arclen_spacing=0.007,
+                                   budget=int(n * 0.625))
+    kept = {}
+    for w in (12, 32):
+        nbr_idx, nbr_mask = curve1d.radius_1d_group_subset(
+            pos, sel, sval, cid, valid, 0.02, w)
+        sets = np.asarray(jnp.where(nbr_mask, nbr_idx, -1))
+        kept[w] = [np.unique(row[row >= 0]) for row in sets[0]]
+    for a, b in zip(kept[12], kept[32]):
+        np.testing.assert_array_equal(a, b)
