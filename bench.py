@@ -91,21 +91,15 @@ def main():
     once()
     compile_s = time.time() - t0
 
-    times = []
-    for _ in range(iters):
-        t0 = time.time()
-        once()
-        times.append(time.time() - t0)
-    mean_t = float(np.mean(sorted(times)[: max(1, iters - 2)]))
     n_valid = int(np.asarray(valid).sum())
-    pts_per_sec = n_valid / mean_t
 
-    # Sustained loops are repeated REPEATS times and the best loop MEAN is
-    # reported: each candidate is still an honest average over ``iters``
-    # back-to-back steps, but one tunnel hiccup (5-25 ms host RT spikes
-    # through the remote-dispatch tunnel; observed ±15% run-to-run on
-    # identical code) no longer poisons the round's headline.
+    # Sustained loops are repeated REPEATS times; the headline is the
+    # MEDIAN loop mean (round-3 verdict weak #4: single runs ride +-15%
+    # tunnel variance — 403.7k and 469.7k were measured on identical code).
+    # Every per-loop mean lands in detail.runs_ms so round-over-round
+    # deltas stay attributable; best is reported alongside.
     repeats = int(os.environ.get("BENCH_REPEATS", 3))
+    runs = []
     if mode == "train":
         # sustained throughput: dispatch steps back-to-back without syncing
         # on the loss (real loops only pull metrics every N steps); device
@@ -117,11 +111,8 @@ def main():
             for _ in range(iters):
                 state, m = step(state, b, key, jnp.float32(0.1))
             jax.block_until_ready(m["loss"])
-            pipe_t = (time.time() - t0) / iters
-            if pipe_t < mean_t:
-                mean_t = pipe_t
-                pts_per_sec = n_valid / mean_t
-    if mode == "eval":
+            runs.append((time.time() - t0) / iters)
+    else:
         # sustained throughput: keep 2 scans in flight (hides per-dispatch
         # host/tunnel gaps; steady-state eval streams many scans)
         for _ in range(repeats):
@@ -133,10 +124,13 @@ def main():
                     pending.pop(0).block_until_ready()
             for p in pending:
                 p.block_until_ready()
-            pipe_t = (time.time() - t0) / iters
-            if pipe_t < mean_t:
-                mean_t = pipe_t
-                pts_per_sec = n_valid / mean_t
+            runs.append((time.time() - t0) / iters)
+    mean_t = float(np.median(runs))
+    pts_per_sec = n_valid / mean_t
+
+    trace_span_ms = None
+    if os.environ.get("BENCH_TRACE", "0") == "1":
+        trace_span_ms = _trace_span(once, iters=3)
 
     result = {
         "metric": f"points/sec/chip "
@@ -148,13 +142,63 @@ def main():
             "n_points": n_points,
             "batch": batch,
             "mode": mode,
-            "mean_step_s": round(mean_t, 5),  # pipelined (depth 2) for eval
+            "median_step_s": round(mean_t, 5),  # pipelined (depth 2), eval
+            "runs_ms": [round(r * 1e3, 2) for r in runs],
+            "best_ms": round(min(runs) * 1e3, 2),
+            "trace_span_ms": trace_span_ms,
             "compile_s": round(compile_s, 1),
             "init_s": round(init_s, 1),
             "device": str(jax.devices()[0]),
         },
     }
     print(json.dumps(result))
+
+
+def _trace_span(once, iters: int = 3):
+    """Device sync span per step (ms) from an xplane capture.
+
+    Sums plain (non-async) XLA-op self-times and divides by steps — the
+    tunnel-noise-free number worknotes should quote (CLAUDE.md "Honest
+    sync-only attribution").  Requires the tensorflow profiler protos.
+    """
+    import glob
+    import tempfile
+
+    try:
+        from tensorflow.tsl.profiler.protobuf import xplane_pb2  # noqa
+    except Exception:
+        return None
+    import jax
+
+    d = tempfile.mkdtemp(prefix="bench_trace_")
+    with jax.profiler.trace(d):
+        for _ in range(iters):
+            once()
+    paths = glob.glob(os.path.join(d, "**", "*.xplane.pb"), recursive=True)
+    if not paths:
+        return None
+    xs = xplane_pb2.XSpace()
+    with open(max(paths, key=os.path.getmtime), "rb") as f:
+        xs.ParseFromString(f.read())
+    async_pre = ("copy-start", "slice-start", "copy-done", "slice-done")
+    for plane in xs.planes:
+        if "TPU" not in plane.name:
+            continue
+        meta = {m.id: m.name for m in plane.event_metadata.values()}
+        total = 0.0
+        for line in plane.lines:
+            if "XLA Ops" not in line.name:
+                continue
+            for ev in line.events:
+                name = meta.get(ev.metadata_id, "").lstrip("%")
+                base = name.split(" ")[0].rsplit(".", 1)[0]
+                if any(base.startswith(p) or base.endswith(p)
+                       for p in async_pre):
+                    continue
+                total += ev.duration_ps / 1e9
+        if total:
+            return round(total / iters, 2)
+    return None
 
 
 if __name__ == "__main__":

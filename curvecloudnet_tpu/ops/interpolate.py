@@ -62,6 +62,49 @@ def knn_interpolate(x: jax.Array, pos_src: jax.Array, src_valid: jax.Array,
     return _weighted_mean(x_nbr, dist * dist, mask)
 
 
+def knn_interpolate_subset(x_cand: jax.Array, cand_idx: jax.Array,
+                           cand_valid: jax.Array, pos_full: jax.Array,
+                           full_valid: jax.Array, k: int = 3,
+                           cand_pos: jax.Array | None = None,
+                           table_bound=None, grid_bound=None,
+                           grid_cap=None) -> jax.Array:
+    """fp upsample when the source points are a SUBSET of the query row.
+
+    Same math as :func:`knn_interpolate` (reference point_ops.py:293-341),
+    but the k-NN search is served from the query row's shared neighbor
+    table (``ops/neighbors.knn_from_table_subset``) whenever every valid
+    query has >= k kept entries there — deleting the (Q, M) distance
+    sweep.  A counted ``lax.cond`` falls back to the exact whole-row
+    search for any scan where the table can't prove the answer, so results
+    never deviate; the fallback count lands in eval telemetry
+    (``fp_table_fallback``).
+    """
+    k = min(k, cand_idx.shape[1])  # match knn()'s clamp on tiny rows
+    if cand_pos is None:
+        cand_pos = gather_rows(pos_full, cand_idx)
+    res = nbr_ops.knn_from_table_subset(
+        pos_full, full_valid, cand_idx, cand_valid, k,
+        table_bound=table_bound, grid_bound=grid_bound, grid_cap=grid_cap)
+    if res is None:
+        idx, dist = nbr_ops.knn(pos_full, cand_pos, full_valid,
+                                cand_valid, k)
+    else:
+        ok, t_i, t_d, n_unserv = res
+        from . import telemetry
+
+        if telemetry.active():
+            telemetry.record("fp_table_fallback", n_unserv)
+
+        def _brute(_):
+            return nbr_ops.knn(pos_full, cand_pos, full_valid,
+                               cand_valid, k)
+
+        idx, dist = jax.lax.cond(ok, lambda _: (t_i, t_d), _brute, None)
+    mask = idx >= 0
+    x_nbr = nbr_ops.gather_neighbors(x_cand, idx)
+    return _weighted_mean(x_nbr, dist * dist, mask)
+
+
 def knn_interpolate_1d(x_kept: jax.Array, kept_idx: jax.Array,
                        kept_valid: jax.Array, pos_full: jax.Array,
                        curve_id: jax.Array, valid: jax.Array,

@@ -66,6 +66,92 @@ def test_knn_interpolate_1d_exact_on_kept_points(rng):
                                    atol=1e-4)
 
 
+def _subset_case(rng, n=160, m=70, c=6, bound=None):
+    import jax
+
+    pos = rng.normal(size=(1, n, 3)).astype(np.float32)
+    valid = np.ones((1, n), bool)
+    valid[:, n - 7:] = False
+    cand_idx = rng.choice(n - 7, size=m, replace=False).astype(np.int32)
+    cand_idx.sort()
+    cand_idx = cand_idx[None]
+    cand_valid = np.ones((1, m), bool)
+    cand_valid[:, m - 5:] = False
+    x = rng.normal(size=(1, m, c)).astype(np.float32)
+    return (jnp.asarray(x), jnp.asarray(cand_idx), jnp.asarray(cand_valid),
+            jnp.asarray(pos), jnp.asarray(valid))
+
+
+def test_knn_interpolate_subset_matches_brute(rng):
+    """Table-view fp == direct search, with and without a prebuilt table."""
+    from curvecloudnet_tpu.ops import neighbors as N
+
+    x, ci, cv, pos, valid = _subset_case(rng)
+    want = interpolate.knn_interpolate(
+        x, jnp.take_along_axis(pos, ci[..., None], 1), cv, pos, valid, k=3)
+    # no scope -> table path unavailable -> brute
+    got_plain = interpolate.knn_interpolate_subset(x, ci, cv, pos, valid,
+                                                   k=3, table_bound=None)
+    np.testing.assert_allclose(np.asarray(got_plain), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+    with N.shared_knn_scope():
+        # simulate the encoder consumer that builds the row table
+        N.same_set_knn(pos, valid, 16, radius=None, table_bound=None)
+        res = N.knn_from_table_subset(pos, valid, ci, cv, 3)
+        assert res is not None
+        ok = bool(res[0])
+        assert ok  # unbounded table: always servable
+        got = interpolate.knn_interpolate_subset(x, ci, cv, pos, valid, k=3)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_knn_interpolate_subset_bounded_table_falls_back(rng):
+    """A tightly-bounded table can't serve sparse queries: the counted
+    lax.cond must fall back to the exact whole-row search."""
+    from curvecloudnet_tpu.ops import neighbors as N
+
+    x, ci, cv, pos, valid = _subset_case(rng)
+    want = interpolate.knn_interpolate(
+        x, jnp.take_along_axis(pos, ci[..., None], 1), cv, pos, valid, k=3)
+    with N.shared_knn_scope():
+        N.same_set_knn(pos, valid, 16, radius=0.05, table_bound=0.05)
+        res = N.knn_from_table_subset(pos, valid, ci, cv, 3,
+                                      table_bound=0.05)
+        assert res is not None and not bool(res[0])  # unservable somewhere
+        assert int(res[3]) > 0
+        got = interpolate.knn_interpolate_subset(x, ci, cv, pos, valid, k=3,
+                                                 table_bound=0.05)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_knn_from_table_subset_peek_only(rng):
+    """Without a prior consumer the view must NOT build a table."""
+    from curvecloudnet_tpu.ops import neighbors as N
+
+    _, ci, cv, pos, valid = _subset_case(rng)
+    with N.shared_knn_scope():
+        assert N.knn_from_table_subset(pos, valid, ci, cv, 3) is None
+        assert not N._TABLE_CACHE  # still empty
+
+
+def test_knn_from_table_subset_servable_values_exact(rng):
+    """When servable, idx/dist must equal the exact subset search."""
+    from curvecloudnet_tpu.ops import neighbors as N
+
+    _, ci, cv, pos, valid = _subset_case(rng)
+    cand_pos = jnp.take_along_axis(pos, ci[..., None], 1)
+    want_i, want_d = N.knn(pos, cand_pos, valid, cv, 3)
+    with N.shared_knn_scope():
+        N.same_set_knn(pos, valid, 16, radius=None, table_bound=None)
+        ok, idx, dist, _ = N.knn_from_table_subset(pos, valid, ci, cv, 3)
+    assert bool(ok)
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(want_i))
+    np.testing.assert_allclose(np.asarray(dist), np.asarray(want_d),
+                               rtol=1e-6, atol=1e-6)
+
+
 def test_pack_f32_as_2bf16_roundtrip_is_exact(rng):
     from curvecloudnet_tpu.ops.interpolate import (_pack_f32_as_2bf16,
                                                    _unpack_2bf16_as_f32)
