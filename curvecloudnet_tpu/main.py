@@ -144,11 +144,28 @@ def run_viz(model, variables, val_ds, info, cfg, outdir, n_samples=4,
     os.makedirs(viz_dir, exist_ok=True)
     preset = {"kitti": "kitti", "nuscenes": "kitti", "audi": "audi"}.get(
         info.name, "shapenet")
+    # the reference renders a CURATED list of scans per dataset
+    # (src/run/globals.py:9-14,52-60); config viz_idxs overrides, and
+    # datasets shorter than the curated ids fall back to the first samples
+    from .run.globals import dataset_viz_idxs
+
+    curated = cfg.get("viz_idxs") or dataset_viz_idxs(info.name) or []
+    idxs = [i for i in curated if i < len(val_ds)][:n_samples]
+    if len(idxs) < n_samples:
+        seen = set(idxs)
+        idxs += [i for i in range(len(val_ds)) if i not in seen][
+            : n_samples - len(idxs)]
     fwd = T.make_tta_eval(model)
-    for i, np_batch in enumerate(D.batch_iterator(val_ds, 1,
-                                                  drop_last=False)):
-        if i >= n_samples:
-            break
+    from .data.datasets import pad_sample
+
+    def _batches():
+        rng_v = np.random.default_rng(0)
+        for i in idxs:
+            s = pad_sample(val_ds.get(int(i), rng=rng_v, augment=False),
+                           val_ds.n_pad)
+            yield {k: v[None] for k, v in s.items()}
+
+    for i, np_batch in enumerate(_batches()):
         np_batch.pop("_meta", None)
         batch = D.to_device_batch(np_batch, info.task)
         logits, out_valid = fwd(variables, batch.cloud,
@@ -164,9 +181,14 @@ def run_viz(model, variables, val_ds, info, cfg, outdir, n_samples=4,
         logger.log_media(f"viz/curves_{i}", curves_png)
         gt = (np.asarray(batch.labels)[0]
               if np.ndim(np.asarray(batch.labels)) > 1 else None)
+        from .run.globals import dataset_cmap
+
+        cm = dataset_cmap(info.name)
+        if cm is None or len(cm) < info.n_out:
+            cm = label_colormap(info.n_out)
         if len(pred) == len(pos):  # classification preds are (1,), no
             seg_png = os.path.join(viz_dir, f"seg_{i}.png")  # per-point map
-            plot_segmentation(pos, pred, gt, valid, path=seg_png)
+            plot_segmentation(pos, pred, gt, valid, cmap=cm, path=seg_png)
             logger.log_media(f"viz/seg_{i}", seg_png)
 
         # grouping edges of the first sgcnn/sa radius on this cloud
@@ -194,7 +216,6 @@ def run_viz(model, variables, val_ds, info, cfg, outdir, n_samples=4,
         logger.log_media(f"viz/tangents_{i}", cones)
 
         if info.task == "segmentation" and gt is not None:
-            cm = label_colormap(info.n_out)
             panels = render_segmentation_panels(pos, pred, gt, cm,
                                                 preset=preset, valid=valid)
             logger.log_media(f"viz/panels_{i}", panels)

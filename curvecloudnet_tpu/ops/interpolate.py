@@ -62,6 +62,31 @@ def knn_interpolate(x: jax.Array, pos_src: jax.Array, src_valid: jax.Array,
     return _weighted_mean(x_nbr, dist * dist, mask)
 
 
+# plain float, NOT a module-level jnp constant (those leak tracers when a
+# module is first imported inside a trace — CLAUDE.md Mosaic/trace notes)
+_INF = 1e30
+
+# Static dropped-query budget for the split fp sweep, as a fraction of the
+# full row: dropped_valid = n_valid - m_valid, and the kept rows run at
+# 0.78-0.97 occupancy on calibrated configs, so 1 - (3/4) * (m/n) holds
+# ~10% margin at the flagship operating points (audit-measured dropped
+# ~13.1k of 23040 vs budget 14400).  Overflow falls back to the full
+# sweep under lax.cond (exact either way) and lands in telemetry.
+SPLIT_KEEP_FRAC = float(__import__("os").environ.get("CCN_FP_SPLIT_FRAC",
+                                                     0.75))
+
+
+def _cand_rank(cand_idx, cand_valid, n):
+    """Row -> candidate-slot rank (-1 where not kept)."""
+    b, m = cand_idx.shape
+    dump = jnp.where(cand_valid, cand_idx, n)
+    rank = jnp.full((b, n + 1), -1, jnp.int32)
+    rank = jax.vmap(lambda r, d, a: r.at[d].set(a))(
+        rank, dump,
+        jnp.broadcast_to(jnp.arange(m, dtype=jnp.int32), (b, m)))
+    return rank[:, :n]
+
+
 def knn_interpolate_subset(x_cand: jax.Array, cand_idx: jax.Array,
                            cand_valid: jax.Array, pos_full: jax.Array,
                            full_valid: jax.Array, k: int = 3,
@@ -71,35 +96,74 @@ def knn_interpolate_subset(x_cand: jax.Array, cand_idx: jax.Array,
     """fp upsample when the source points are a SUBSET of the query row.
 
     Same math as :func:`knn_interpolate` (reference point_ops.py:293-341),
-    but the k-NN search is served from the query row's shared neighbor
-    table (``ops/neighbors.knn_from_table_subset``) whenever every valid
-    query has >= k kept entries there — deleting the (Q, M) distance
-    sweep.  A counted ``lax.cond`` falls back to the exact whole-row
-    search for any scan where the table can't prove the answer, so results
-    never deviate; the fallback count lands in eval telemetry
-    (``fp_table_fallback``).
+    with two exact fast paths replacing the full (Q, M) distance sweep:
+
+    1. Shared-table view (``ops/neighbors.knn_from_table_subset``): when
+       every valid query has >= k kept entries within its table reach,
+       the whole search is a filtered view — no sweep at all.
+    2. Kept/dropped split: a KEPT query's nearest candidate is itself
+       (d = 0), whose 1/clip(d^2, 1e-16) weight dominates the weighted
+       mean to ~1e-12 relative — so only the DROPPED queries (compacted
+       into a static-budget row) need the distance sweep, cutting its
+       query count ~40% at the flagship operating points.
+
+    Counted ``lax.cond`` fallbacks keep every path exact: table-miss
+    drops to the split, split-budget overflow drops to the full sweep.
+    Fallback counts land in eval telemetry.
     """
+    from . import telemetry
+
     k = min(k, cand_idx.shape[1])  # match knn()'s clamp on tiny rows
     if cand_pos is None:
         cand_pos = gather_rows(pos_full, cand_idx)
+    b, n = full_valid.shape
+    m = cand_idx.shape[1]
+
+    def _full_sweep(_=None):
+        return nbr_ops.knn(pos_full, cand_pos, full_valid, cand_valid, k)
+
+    # --- kept/dropped split ------------------------------------------------
+    rank = _cand_rank(cand_idx, cand_valid, n)
+    kept = (rank >= 0) & full_valid
+    dropped = full_valid & ~kept
+    budget = min(n, max(k, n - int(SPLIT_KEEP_FRAC * m)))
+    from .sampling import mask_to_indices
+
+    d_idx, d_valid = mask_to_indices(dropped, budget)
+    n_drop = jnp.sum(dropped, axis=-1)
+    overflow = jnp.any(n_drop > budget)
+    if telemetry.active():
+        telemetry.record(f"fp_split_overflow.n{n}",
+                         jnp.sum(jnp.maximum(n_drop - budget, 0)))
+
+    def _split(_=None):
+        q_drop = gather_rows(pos_full, d_idx)
+        di, dd = nbr_ops.knn(q_drop, cand_pos, d_valid, cand_valid, k)
+        slot0 = jax.lax.broadcasted_iota(jnp.int32, (b, n + 1, k), 2) == 0
+        base_i = jnp.where(
+            slot0 & jnp.pad(kept, ((0, 0), (0, 1)))[..., None],
+            jnp.pad(rank, ((0, 0), (0, 1)))[..., None], -1)
+        base_d = jnp.where(base_i >= 0, 0.0, _INF)
+        tgt = jnp.where(d_valid, d_idx, n)
+        out_i = jax.vmap(lambda o, t, v: o.at[t].set(v))(base_i, tgt, di)
+        out_d = jax.vmap(lambda o, t, v: o.at[t].set(v))(base_d, tgt, dd)
+        return out_i[:, :n], out_d[:, :n]
+
+    def _split_or_full(_=None):
+        return jax.lax.cond(overflow, _full_sweep, _split, None)
+
+    # --- shared-table view -------------------------------------------------
     res = nbr_ops.knn_from_table_subset(
         pos_full, full_valid, cand_idx, cand_valid, k,
         table_bound=table_bound, grid_bound=grid_bound, grid_cap=grid_cap)
     if res is None:
-        idx, dist = nbr_ops.knn(pos_full, cand_pos, full_valid,
-                                cand_valid, k)
+        idx, dist = _split_or_full()
     else:
         ok, t_i, t_d, n_unserv = res
-        from . import telemetry
-
         if telemetry.active():
             telemetry.record("fp_table_fallback", n_unserv)
-
-        def _brute(_):
-            return nbr_ops.knn(pos_full, cand_pos, full_valid,
-                               cand_valid, k)
-
-        idx, dist = jax.lax.cond(ok, lambda _: (t_i, t_d), _brute, None)
+        idx, dist = jax.lax.cond(ok, lambda _: (t_i, t_d), _split_or_full,
+                                 None)
     mask = idx >= 0
     x_nbr = nbr_ops.gather_neighbors(x_cand, idx)
     return _weighted_mean(x_nbr, dist * dist, mask)

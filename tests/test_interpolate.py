@@ -126,6 +126,20 @@ def test_knn_interpolate_subset_bounded_table_falls_back(rng):
                                rtol=1e-5, atol=1e-5)
 
 
+def test_knn_interpolate_subset_split_overflow_falls_back(rng):
+    """Mostly-invalid candidates overflow the dropped-query budget: the
+    split path's lax.cond must take the full sweep and stay exact."""
+    x, ci, cv, pos, valid = _subset_case(rng, n=160, m=40)
+    cv = np.array(cv)
+    cv[:, 5:] = False  # 5 valid candidates -> dropped >> budget
+    cv = jnp.asarray(cv)
+    want = interpolate.knn_interpolate(
+        x, jnp.take_along_axis(pos, ci[..., None], 1), cv, pos, valid, k=3)
+    got = interpolate.knn_interpolate_subset(x, ci, cv, pos, valid, k=3)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_knn_from_table_subset_peek_only(rng):
     """Without a prior consumer the view must NOT build a table."""
     from curvecloudnet_tpu.ops import neighbors as N
