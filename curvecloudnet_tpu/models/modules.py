@@ -182,9 +182,10 @@ def _group_conv(local_nn: MLP, attend_nn: Optional[MLP], step: StepSpec,
         dst = (pos_dst[:, None, :, :] if k_major
                else pos_dst[:, :, None, :])
         if x_src is not None:
-            # one packed row gather for (x_j, pos_j): bit-identical to the
-            # two separate gathers (positions ride as exact f32 bit-splits;
-            # k-major additionally dispatches to the tile-unique MXU gather)
+            # one packed row gather for (x_j, pos_j): value-identical to
+            # the two separate gathers (positions ride as exact 3x-bf16
+            # residual triplets, ops/interpolate.py POS_PACK_CH; k-major
+            # additionally dispatches to the tile-unique MXU gather)
             xj, pj = neighbors.gather_neighbors_with_pos(
                 x_src, pos_src, idx, layout="kq" if k_major else None,
                 train=train)

@@ -294,15 +294,16 @@ def gather_window_with_pos(x: jax.Array, pos: jax.Array, idx: jax.Array,
 
     Window fetches charge per ROW like any gather, so a second 3-wide
     position slice costs as much as the feature slice; positions instead
-    ride in the feature record (bit-split hi/lo bf16 when features are
-    bf16 — bits move losslessly, exact f32 reconstruction).  Bit-identical
-    to two separate :func:`gather_window_features` calls.
+    ride in the feature record as exact 3x-bf16 residual triplets when
+    features are bf16 (ops/interpolate.py POS_PACK_CH note: bit-split
+    hi/lo pairs are flushed/canonicalized by in-graph compute ops on TPU).
+    Value-identical to two separate :func:`gather_window_features` calls.
 
     Returns (x_win (B, M, 2w+1, C), pos_win (B, M, 2w+1, 3) float32);
     with ``k_major`` the window axis leads (ascending order, see
     :func:`gather_window_features`).
     """
-    from .interpolate import _pack_f32_as_2bf16, _unpack_2bf16_as_f32
+    from .interpolate import POS_PACK_CH, _pack_pos_bf16, _unpack_pos_bf16
 
     posf = pos.astype(jnp.float32)
     if x.dtype == jnp.float32:
@@ -310,11 +311,12 @@ def gather_window_with_pos(x: jax.Array, pos: jax.Array, idx: jax.Array,
         rw = gather_window_features(rec, idx, half_w, idx_valid=idx_valid,
                                     unique_rows=unique_rows, k_major=k_major)
         return rw[..., :-3], rw[..., -3:]
-    rec = jnp.concatenate([x.astype(jnp.bfloat16), _pack_f32_as_2bf16(posf)],
+    rec = jnp.concatenate([x.astype(jnp.bfloat16), _pack_pos_bf16(posf)],
                           axis=-1)
     rw = gather_window_features(rec, idx, half_w, idx_valid=idx_valid,
                                 unique_rows=unique_rows, k_major=k_major)
-    return rw[..., :-6], _unpack_2bf16_as_f32(rw[..., -6:])
+    return (rw[..., :-POS_PACK_CH],
+            _unpack_pos_bf16(rw[..., -POS_PACK_CH:]))
 
 
 def pad_for_window_chunks(x: jax.Array, half_w: int) -> jax.Array:

@@ -92,6 +92,21 @@ def default_hash_bits(n: int) -> int:
     return min(18, max(13, bits - 3))
 
 
+_IDX_BIAS = 0x40000000  # exponent bits of 2.0f: payload stays a normal float
+
+
+def _decode_idx(f32vals: jax.Array) -> jax.Array:
+    """Biased f32 record field -> point index (-1 = empty slot).
+
+    See the encoding note at the record build: indices are stored as
+    bitcast(0x40000000 | (idx + 1)) so they can never be flushed (denormal)
+    or canonicalized (NaN) by compute ops a fusion routes the table
+    through.  Valid for idx + 1 < 2^23 (8.3M points/row).
+    """
+    bits = jax.lax.bitcast_convert_type(f32vals, jnp.int32)
+    return jnp.bitwise_and(bits, jnp.int32(0x7FFFFF)) - 1
+
+
 def _cell_coords(pos: jax.Array, cell: float) -> jax.Array:
     c = jnp.floor(pos / cell).astype(jnp.int32) + _OFF
     return jnp.clip(c, 0, _MASK)
@@ -208,14 +223,23 @@ def grid_knn_single(query, points, q_valid, p_valid, k: int, radius: float,
     # z*cap, idx*cap] = cap*4 contiguous floats.  A flat 2D table keeps the
     # row gather on contiguous memory (a 3D (.., cap, 4) table made XLA pick
     # a transposed tiling where each gathered "row" touched many tiny tiles).
-    rec = jnp.concatenate(
-        [points,
-         jax.lax.bitcast_convert_type(
-             jnp.arange(n, dtype=jnp.int32), jnp.float32)[:, None]], axis=-1)
+    # Point indices ride the f32 record BIASED into normal-float range:
+    # bitcast(0x40000000 | (idx + 1)) is a float in [2.0, 4.0).  A plain
+    # bitcast(idx) is a DENORMAL f32 for idx < 2^23, and when XLA routes
+    # the table through any compute op in a larger graph the TPU VPU
+    # flushes denormals to zero — every stored index silently became 0 and
+    # _finalize's dedup collapsed each query to ONE neighbor (self-only
+    # tables in-model while the standalone search was exact; round-4
+    # find).  The empty sentinel is the biased zero (2.0f, decodes to -1);
+    # a bitcast(-1) NaN sentinel is equally unsafe (payload
+    # canonicalization).  _decode_idx is the inverse.
+    enc = jax.lax.bitcast_convert_type(
+        jnp.int32(_IDX_BIAS) | (jnp.arange(n, dtype=jnp.int32) + 1),
+        jnp.float32)
+    rec = jnp.concatenate([points, enc[:, None]], axis=-1)
     if strip > 1:
         rec = jnp.tile(rec, (strip, 1))  # matches the (strip, N) reshape
-    neg1 = jax.lax.bitcast_convert_type(jnp.int32(-1), jnp.float32)
-    fill = jnp.repeat(jnp.array([_INF, _INF, _INF, neg1], jnp.float32),
+    fill = jnp.repeat(jnp.array([_INF, _INF, _INF, 2.0], jnp.float32),
                       cap_row)
     # rows: [0, nbuckets) cells, nbuckets = parked invalid/overflowed,
     # (nbuckets, nbuckets+overflow_planes] shared overflow rows, and one
@@ -306,7 +330,7 @@ def grid_knn_single(query, points, q_valid, p_valid, k: int, radius: float,
         d2s, idxs = [], []
         for c in range(ncells):
             rec = table[nbr_buckets[:, c]]          # (Q, cap_row*4) gather
-            pid = jax.lax.bitcast_convert_type(rec[:, 3 * cr:], jnp.int32)
+            pid = _decode_idx(rec[:, 3 * cr:])
             d2c = ((rec[:, 0 * cr:1 * cr] - qx) ** 2
                    + (rec[:, 1 * cr:2 * cr] - qy) ** 2
                    + (rec[:, 2 * cr:3 * cr] - qz) ** 2)
@@ -326,7 +350,7 @@ def grid_knn_single(query, points, q_valid, p_valid, k: int, radius: float,
     d2 = ((cand[:, :, 0] - query[:, None, 0:1]) ** 2
           + (cand[:, :, 1] - query[:, None, 1:2]) ** 2
           + (cand[:, :, 2] - query[:, None, 2:3]) ** 2)     # (Q, 27, cap)
-    cand_idx = jax.lax.bitcast_convert_type(cand[:, :, 3], jnp.int32)
+    cand_idx = _decode_idx(cand[:, :, 3])
     good = (cand_idx >= 0) & q_valid[:, None, None] & (d2 <= radius * radius)
     d2 = jnp.where(good, d2, _INF).reshape(q_, c_)
     cand_idx = cand_idx.reshape(q_, c_)

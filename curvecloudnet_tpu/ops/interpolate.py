@@ -15,29 +15,33 @@ from . import neighbors as nbr_ops
 from .sampling import gather_rows
 
 
-def _pack_f32_as_2bf16(p: jax.Array) -> jax.Array:
-    """Bit-split (..., C) float32 into (..., 2C) bfloat16 (hi|lo halves).
+# Positions ride bf16 feature records as exact 3x-bf16 RESIDUAL triplets
+# (value split, pallas_gather.split3) — NOT as bit-split hi/lo halves.
+# Bit-split halves carry arbitrary bit payloads: ~1/128 of them form bf16
+# denormals or NaNs, and any compute op a fusion routes the record through
+# (select/where, relayout on the VPU) flushes or canonicalizes them —
+# measured 3.4% corrupted position components in-graph on v5e
+# (tools/tpu_smoke.py "bf16 bit-split" guard; same hazard class as the
+# grid-table denormal find).  Residual triplets are VALUES — hi=bf16(x),
+# mid=bf16(x-hi), lo=bf16(rest) — always normal bf16 at lidar scales
+# (residuals ~x*2^-8/2^-16; exact zeros stay zero), and their sum
+# reconstructs all 24 mantissa bits exactly.  Cost: 9 record channels per
+# position instead of 6 (gathers are row-rate bound, so +6 bytes/row).
+# (Plain bf16 casting of positions is still wrong — it catastrophically
+# cancels in ``p_nbr - pos`` at lidar scales, ADVICE r2.)
+POS_PACK_CH = 9  # packed channels per 3-coordinate position
 
-    Gathers move bits, not values, so packing positions this way lets a
-    bf16 feature record carry EXACT f32 coordinates through one combined
-    row gather.  (Casting positions to bf16 instead loses ~8 mantissa bits
-    of the absolute coordinate, which catastrophically cancels in
-    ``p_nbr - pos`` at lidar scales — see ADVICE r2.)
-    """
-    u = jax.lax.bitcast_convert_type(p, jnp.uint32)
-    hi = jax.lax.bitcast_convert_type((u >> 16).astype(jnp.uint16),
-                                      jnp.bfloat16)
-    lo = jax.lax.bitcast_convert_type((u & 0xFFFF).astype(jnp.uint16),
-                                      jnp.bfloat16)
-    return jnp.concatenate([hi, lo], axis=-1)
+
+def _pack_pos_bf16(p: jax.Array) -> jax.Array:
+    from .pallas_gather import split3
+
+    return split3(p)
 
 
-def _unpack_2bf16_as_f32(rec: jax.Array) -> jax.Array:
-    """Inverse of :func:`_pack_f32_as_2bf16` ((..., 2C) bf16 -> (..., C) f32)."""
-    c = rec.shape[-1] // 2
-    hi = jax.lax.bitcast_convert_type(rec[..., :c], jnp.uint16).astype(jnp.uint32)
-    lo = jax.lax.bitcast_convert_type(rec[..., c:], jnp.uint16).astype(jnp.uint32)
-    return jax.lax.bitcast_convert_type((hi << 16) | lo, jnp.float32)
+def _unpack_pos_bf16(rec: jax.Array) -> jax.Array:
+    from .pallas_gather import merge3
+
+    return merge3(rec)
 
 
 def _weighted_mean(x_nbr, d2, mask):
@@ -188,7 +192,7 @@ def knn_interpolate_1d(x_kept: jax.Array, kept_idx: jax.Array,
     # per ROW, so combining halves the fetch cost.  Positions must survive
     # the pack at full f32 precision (bf16 absolute coordinates cancel
     # catastrophically in p_nbr - pos at lidar scales), so in the bf16 path
-    # they ride along as exact bit-split hi/lo bf16 pairs.
+    # they ride along as exact 3x-bf16 residual triplets (POS_PACK_CH).
     kept_pos = gather_rows(pos_full, kept_idx)
     pos_q = pos_full.astype(jnp.float32)
     if x_kept.dtype == jnp.float32:
@@ -198,11 +202,11 @@ def knn_interpolate_1d(x_kept: jax.Array, kept_idx: jax.Array,
         x_nbr = rec_nbr[..., :-3]
         p_nbr = rec_nbr[..., -3:]
     else:
-        packed = _pack_f32_as_2bf16(kept_pos.astype(jnp.float32))  # (B, M, 6)
+        packed = _pack_pos_bf16(kept_pos.astype(jnp.float32))  # (B, M, 9)
         rec = jnp.concatenate(
-            [x_kept.astype(jnp.bfloat16), packed], axis=-1)  # (B, M, C+6)
+            [x_kept.astype(jnp.bfloat16), packed], axis=-1)  # (B, M, C+9)
         rec_nbr = jax.vmap(lambda rb, ib: rb[ib])(rec, safe)
-        x_nbr = rec_nbr[..., :-6]
-        p_nbr = _unpack_2bf16_as_f32(rec_nbr[..., -6:])
+        x_nbr = rec_nbr[..., :-POS_PACK_CH]
+        p_nbr = _unpack_pos_bf16(rec_nbr[..., -POS_PACK_CH:])
     d2 = jnp.sum((p_nbr - pos_q[:, :, None, :]) ** 2, axis=-1)
     return _weighted_mean(x_nbr, d2, mask).astype(x_kept.dtype)

@@ -729,20 +729,21 @@ def gather_neighbors_with_pos(x: jax.Array, pos: jax.Array,
     HBM gathers charge per ROW (~7ns on v5e regardless of width), so
     fetching the position with a second 3-wide gather costs as much as the
     whole feature gather.  Instead positions ride along in the feature
-    record — bit-split into hi/lo bf16 pairs when features are bf16 (bits
-    move losslessly through gathers; casting positions to bf16 would
-    catastrophically cancel in pos_j - pos_i at lidar scales, ADVICE r2).
+    record as exact 3x-bf16 residual triplets when features are bf16
+    (ops/interpolate.py POS_PACK_CH note: bit-split hi/lo pairs get
+    flushed/canonicalized by in-graph compute ops on TPU; casting
+    positions to plain bf16 would catastrophically cancel in
+    pos_j - pos_i at lidar scales, ADVICE r2).
 
     x: (B, N, C), pos: (B, N, 3), idx: (B, Q, K) with -1 padding.
     Returns (x_nbr (B, Q, K, C), pos_nbr (B, Q, K, 3) float32); padded
     slots are zero in both.
 
     ``layout="kq"``: see :func:`gather_neighbors` — idx (B, K, Q), outputs
-    (B, K, Q, *), tile-unique kernel when profitable (positions then ride
-    as exact 3x-bf16 residual triplets: bit-split pairs are unsafe under
-    the kernel's 0 * x one-hot products).
+    (B, K, Q, *), tile-unique kernel path with the same triplet format.
     """
-    from .interpolate import _pack_f32_as_2bf16, _unpack_2bf16_as_f32
+    from .interpolate import (POS_PACK_CH, _pack_pos_bf16,
+                              _unpack_pos_bf16)
 
     pos = pos.astype(jnp.float32)
     if layout == "kq" and _tile_gather_on(train):
@@ -760,7 +761,7 @@ def gather_neighbors_with_pos(x: jax.Array, pos: jax.Array,
             m = (idx >= 0)[..., None]
             return jnp.where(m, x_nbr, 0.0), jnp.where(m, p_nbr, 0.0)
     xb = x if x.dtype == jnp.float32 else x.astype(jnp.bfloat16)
-    p_pack = pos if x.dtype == jnp.float32 else _pack_f32_as_2bf16(pos)
+    p_pack = pos if x.dtype == jnp.float32 else _pack_pos_bf16(pos)
     if train:
         # Packed forward fetch (one row gather, not two) + a custom VJP
         # that scatters ONLY the feature channels: packing positions into
@@ -774,14 +775,15 @@ def gather_neighbors_with_pos(x: jax.Array, pos: jax.Array,
         x_nbr, p_nbr = _packed_gather_xgrad(
             xb, jax.lax.stop_gradient(p_pack), idx)
         return x_nbr, (p_nbr if x.dtype == jnp.float32
-                       else _unpack_2bf16_as_f32(p_nbr))
+                       else _unpack_pos_bf16(p_nbr))
     if x.dtype == jnp.float32:
         rec = jnp.concatenate([x, pos], axis=-1)
         rec_nbr = gather_neighbors(rec, idx)
         return rec_nbr[..., :-3], rec_nbr[..., -3:]
     rec = jnp.concatenate([xb, p_pack], axis=-1)
     rec_nbr = gather_neighbors(rec, idx)
-    return rec_nbr[..., :-6], _unpack_2bf16_as_f32(rec_nbr[..., -6:])
+    return (rec_nbr[..., :-POS_PACK_CH],
+            _unpack_pos_bf16(rec_nbr[..., -POS_PACK_CH:]))
 
 
 def knn_feature_space(x: jax.Array, valid: jax.Array, k: int,

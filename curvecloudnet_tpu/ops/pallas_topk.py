@@ -102,8 +102,12 @@ def _grid_topk_kernel(*refs, k: int, cap: int, ncells: int, tile_q: int,
         px = cand_refs[c][:, 0:cap]
         py = cand_refs[c][:, cap:2 * cap]
         pz = cand_refs[c][:, 2 * cap:3 * cap]
-        ib = jax.lax.bitcast_convert_type(
-            cand_refs[c][:, 3 * cap:4 * cap], jnp.int32)
+        # biased-index decode (grid_knn._decode_idx): records store
+        # 0x40000000 | (idx+1) so the f32 field is never a denormal/NaN
+        ib = jnp.bitwise_and(
+            jax.lax.bitcast_convert_type(
+                cand_refs[c][:, 3 * cap:4 * cap], jnp.int32),
+            jnp.int32(0x7FFFFF)) - 1
         d2 = (px - qx) ** 2 + (py - qy) ** 2 + (pz - qz) ** 2
         good = (ib >= 0) & (d2 <= r2) & qv
         bits = jax.lax.bitcast_convert_type(
@@ -238,8 +242,10 @@ def _grid_topk_kernel_v2(*refs, k: int, cap: int, ncells: int, tile_q: int,
         px = cand_refs[c][:, 0:cap]
         py = cand_refs[c][:, cap:2 * cap]
         pz = cand_refs[c][:, 2 * cap:3 * cap]
-        ib = jax.lax.bitcast_convert_type(
-            cand_refs[c][:, 3 * cap:4 * cap], jnp.int32)
+        ib = jnp.bitwise_and(
+            jax.lax.bitcast_convert_type(
+                cand_refs[c][:, 3 * cap:4 * cap], jnp.int32),
+            jnp.int32(0x7FFFFF)) - 1  # biased decode, see grid_knn
         d2 = (px - qx) ** 2 + (py - qy) ** 2 + (pz - qz) ** 2
         d2 = jnp.where((ib >= 0) & (d2 <= r2) & qv, d2, _INF)
         hit = jnp.any(d2 < t)

@@ -83,19 +83,19 @@ def test_grid_topk_records_kernel_matches_xla_tail(rng, variant,
     query = rng.uniform(-1, 1, (q_n, 3)).astype(np.float32)
     q_valid = rng.random(q_n) > 0.1
     rows = np.empty((q_n, ncells, 4 * cap), np.float32)
-    neg1 = np.float32(np.frombuffer(np.int32(-1).tobytes(), np.float32)[0])
+    # biased index encoding (grid_knn._decode_idx): 0x40000000 | (idx+1);
+    # empty slot = the biased zero (2.0f)
+    enc = lambda pid: np.frombuffer(  # noqa: E731
+        np.int32(0x40000000 | (pid + 1)).tobytes(), np.float32)[0]
     for i in range(q_n):
         for c in range(ncells):
             for j in range(cap):
                 if rng.random() < 0.5:
                     p = query[i] + rng.normal(0, 0.25, 3)
                     pid = rng.integers(0, 10000)
-                    rows[i, c, j::cap] = [*p.astype(np.float32),
-                                          np.frombuffer(
-                                              np.int32(pid).tobytes(),
-                                              np.float32)[0]]
+                    rows[i, c, j::cap] = [*p.astype(np.float32), enc(pid)]
                 else:
-                    rows[i, c, j::cap] = [1e30, 1e30, 1e30, neg1]
+                    rows[i, c, j::cap] = [1e30, 1e30, 1e30, 2.0]
     # one synthetic bucket row per (query, cell) so the table gather is
     # the identity mapping
     table = jnp.asarray(rows.reshape(q_n * ncells, 4 * cap))
@@ -110,7 +110,7 @@ def test_grid_topk_records_kernel_matches_xla_tail(rng, variant,
     d2 = ((c4[:, :, 0] - query[:, None, 0:1]) ** 2
           + (c4[:, :, 1] - query[:, None, 1:2]) ** 2
           + (c4[:, :, 2] - query[:, None, 2:3]) ** 2)
-    cidx = c4[:, :, 3].view(np.int32)
+    cidx = (c4[:, :, 3].view(np.int32) & 0x7FFFFF) - 1
     good = (cidx >= 0) & q_valid[:, None, None] & (d2 <= radius * radius)
     d2 = np.where(good, d2, 1e30).reshape(q_n, w)
     cidx = cidx.reshape(q_n, w)

@@ -166,13 +166,22 @@ def test_knn_from_table_subset_servable_values_exact(rng):
                                rtol=1e-6, atol=1e-6)
 
 
-def test_pack_f32_as_2bf16_roundtrip_is_exact(rng):
-    from curvecloudnet_tpu.ops.interpolate import (_pack_f32_as_2bf16,
-                                                   _unpack_2bf16_as_f32)
+def test_pos_pack_roundtrip_is_exact(rng):
+    """3x-bf16 residual triplets reconstruct f32 positions bit-exactly
+    (and, unlike the retired bit-split pairs, contain only NORMAL bf16
+    values — safe against TPU denormal flush / NaN canonicalization in
+    fused graphs, see tools/tpu_smoke.py)."""
+    from curvecloudnet_tpu.ops.interpolate import (_pack_pos_bf16,
+                                                   _unpack_pos_bf16)
 
     p = (rng.normal(size=(4, 9, 3)) * 100).astype(np.float32)
-    back = np.asarray(_unpack_2bf16_as_f32(_pack_f32_as_2bf16(jnp.asarray(p))))
+    packed = _pack_pos_bf16(jnp.asarray(p))
+    back = np.asarray(_unpack_pos_bf16(packed))
     np.testing.assert_array_equal(back, p)
+    # every packed lane is zero or a normal bf16 (|x| >= 2^-126)
+    vals = np.abs(np.asarray(packed, np.float32))
+    assert ((vals == 0) | (vals >= 2.0 ** -126)).all()
+    assert np.isfinite(np.asarray(packed, np.float32)).all()
 
 
 def test_knn_interpolate_1d_bf16_lidar_scale_weights(rng):

@@ -377,6 +377,81 @@ def main():
 
     check("pallas_gather tile-unique fwd+bwd", tile_gather_check)
 
+    def ingraph_grid_check():
+        """Grid tables built INSIDE a larger jit must match the standalone
+        search.  Guards the round-4 denormal-flush find: point indices
+        bitcast into the f32 record were denormals; when XLA routed the
+        table through a compute op in a big graph the VPU flushed every
+        stored index to 0 and each query collapsed to ONE neighbor
+        (self-only tables in the whole round-3 flagship on TPU, while the
+        standalone kernel — pure DMA — was exact).  The biased encoding
+        (grid_knn._decode_idx) keeps records normal-float; this check
+        fails if any future pass reintroduces payload corruption."""
+        from curvecloudnet_tpu.ops import neighbors as N
+
+        rng = np.random.default_rng(5)
+        n = 23040
+        pos = (rng.uniform(-1, 1, (1, n + 64, 3)) * 0.4).astype(np.float32)
+        posj = jnp.asarray(pos)
+        iv = jnp.ones((1, n), bool)
+
+        def table_counts(p0):
+            p1 = p0[:, :n] * 1.0   # in-graph producer (the trigger shape)
+            with N.shared_knn_scope():
+                t_idx, _ = N._row_table(p1, iv, 0.04)
+            return t_idx
+
+        t_in = np.asarray(jax.jit(table_counts)(posj))
+        cnt = (t_in >= 0).sum(-1)
+        assert cnt.mean() > 3, f"in-graph grid table self-only: {cnt.mean()}"
+        # standalone reference on the same data
+        with N.shared_knn_scope():
+            t_ref = np.asarray(N._row_table(posj[:, :n], iv, 0.04)[0])
+        agree = (np.sort(t_in, -1) == np.sort(t_ref, -1)).mean()
+        assert agree > 0.999, f"in-graph != standalone: {agree}"
+
+    check("in-graph grid table integrity (denormal guard)",
+          ingraph_grid_check)
+
+    def pos_pack_ingraph_check():
+        """Packed bf16 positions must survive an in-graph concat + gather
+        + select round-trip EXACTLY.  The original bit-split hi/lo pairs
+        carried arbitrary bit payloads (~1/128 are bf16 denormals/NaNs)
+        and measured 3.4% corrupted components through this exact graph
+        on v5e — the shipped 3x-bf16 residual triplets are plain values
+        (always normal at lidar scales) and reconstruct bit-exactly."""
+        from curvecloudnet_tpu.ops.interpolate import (POS_PACK_CH,
+                                                       _pack_pos_bf16,
+                                                       _unpack_pos_bf16)
+
+        rng = np.random.default_rng(7)
+        # include coordinates whose low 16 bits form denormal/NaN bf16s
+        # (the payloads that killed the bit-split scheme)
+        base = rng.normal(0, 50, (1, 4096, 3)).astype(np.float32)
+        bits = base.view(np.uint32)
+        bits[0, :64] = (bits[0, :64] & 0xFFFF0000) | 0x0001
+        bits[0, 64:128] = (bits[0, 64:128] & 0xFFFF0000) | 0xFF81
+        pos = bits.view(np.float32)
+        x = rng.normal(size=(1, 4096, 8)).astype(np.float32)
+        idx = jnp.asarray(
+            rng.integers(0, 4096, (1, 512, 4)).astype(np.int32))
+
+        def run(xj, pj, ij):
+            rec = jnp.concatenate(
+                [xj.astype(jnp.bfloat16), _pack_pos_bf16(pj)], axis=-1)
+            safe = jnp.maximum(ij, 0)
+            out = jax.vmap(lambda rb, ib: rb[ib])(rec, safe)
+            out = jnp.where((ij >= 0)[..., None], out, 0.0)
+            return _unpack_pos_bf16(out[..., -POS_PACK_CH:])
+
+        got = np.asarray(jax.jit(run)(jnp.asarray(x), jnp.asarray(pos), idx))
+        want = pos[0][np.asarray(idx)[0]]
+        exact = (got[0] == want).mean()
+        assert exact == 1.0, f"packed positions corrupted: {exact}"
+
+    check("bf16 packed-position round-trip in-graph",
+          pos_pack_ingraph_check)
+
     if FAILURES:
         print(f"SMOKE FAILED: {FAILURES}", flush=True)
         sys.exit(1)
