@@ -246,19 +246,8 @@ class CurveCloudNet(nn.Module):
             elif step.name in ("fp", "fp-geo"):
                 skip_idx = down_skips.pop()
                 skip = input_clouds[skip_idx]
-                if step.name == "fp":
-                    # the fp's 3-NN candidates are a subset of the SKIP
-                    # row, so it reads that row's shared table — pass the
-                    # bounds the row's other consumers built it with
-                    # (step_row[skip_idx] is the pre-downsample row)
-                    cloud = FPStep(spec, step, dims,
-                                   table_bound=row_bounds[0][skip_idx],
-                                   table_grid_bound=row_bounds[1][skip_idx],
-                                   table_grid_cap=row_bounds[2][skip_idx],
-                                   name=name)(cloud, skip, **kw)
-                else:
-                    cloud = CurveFPStep(spec, step, dims, name=name)(
-                        cloud, skip, **kw)
+                cls = FPStep if step.name == "fp" else CurveFPStep
+                cloud = cls(spec, step, dims, name=name)(cloud, skip, **kw)
                 n_now = skip.n
             elif step.name == "skip-connect":
                 k = step.num_skips or 1

@@ -611,13 +611,6 @@ class FPStep(nn.Module):
     spec: ModelSpec
     step: StepSpec
     dims: Tuple[int, ...]
-    # shared-table parameters of the SKIP row (models/base.py wires the
-    # bounds of the row the fp returns to): the 3-NN search's candidates
-    # are a subset of the skip row (parent_idx), so it is served from the
-    # skip row's shared table with an exact counted fallback
-    table_bound: Optional[float] = None
-    table_grid_bound: Optional[float] = None
-    table_grid_cap: Optional[int] = None
 
     @nn.compact
     def __call__(self, cloud: Cloud, skip: Cloud, *, train=False,
@@ -625,12 +618,12 @@ class FPStep(nn.Module):
         k = self.step.knn if self.step.knn else 3
         if (cloud.parent_idx is not None
                 and cloud.parent_idx.shape[1] == cloud.n):
+            # the 3-NN candidates are a subset of the skip row
+            # (parent_idx): the kept/dropped split sweeps only the
+            # dropped queries (ops/interpolate.py)
             x = interpolate.knn_interpolate_subset(
                 cloud.x, cloud.parent_idx, cloud.valid, skip.pos,
-                skip.valid, k=k, cand_pos=cloud.pos,
-                table_bound=self.table_bound,
-                grid_bound=self.table_grid_bound,
-                grid_cap=self.table_grid_cap)
+                skip.valid, k=k, cand_pos=cloud.pos)
         else:
             x = interpolate.knn_interpolate(cloud.x, cloud.pos, cloud.valid,
                                             skip.pos, skip.valid, k=k)

@@ -74,8 +74,11 @@ _INF = 1e30
 # full row: dropped_valid = n_valid - m_valid, and the kept rows run at
 # 0.78-0.97 occupancy on calibrated configs, so 1 - (3/4) * (m/n) holds
 # ~10% margin at the flagship operating points (audit-measured dropped
-# ~13.1k of 23040 vs budget 14400).  Overflow falls back to the full
-# sweep under lax.cond (exact either way) and lands in telemetry.
+# ~13.1k of 23040 vs budget 14400).  Overflow EXCESS queries keep zero
+# neighbors (surfaced by fp_split_overflow telemetry + tools/calibrate.py
+# — the same static-budget-plus-telemetry contract as the grid caps and
+# curve window; a runtime lax.cond fallback measured 4.8 ms/step of pure
+# conditional overhead, the round-3 lesson re-learned at the XLA level).
 SPLIT_KEEP_FRAC = float(__import__("os").environ.get("CCN_FP_SPLIT_FRAC",
                                                      0.75))
 
@@ -100,74 +103,56 @@ def knn_interpolate_subset(x_cand: jax.Array, cand_idx: jax.Array,
     """fp upsample when the source points are a SUBSET of the query row.
 
     Same math as :func:`knn_interpolate` (reference point_ops.py:293-341),
-    with two exact fast paths replacing the full (Q, M) distance sweep:
+    but with the kept/dropped SPLIT: a KEPT query's nearest candidate is
+    itself (d = 0), whose 1/clip(d^2, 1e-16) weight dominates the weighted
+    mean to ~1e-12 relative — so the distance sweep runs only over the
+    DROPPED queries, compacted into a static-budget row (~40% fewer
+    distance passes at the flagship operating points).  Budget-overflow
+    excess queries keep zero neighbors, surfaced by ``fp_split_overflow``
+    telemetry and gated by tools/calibrate.py (see SPLIT_KEEP_FRAC).
 
-    1. Shared-table view (``ops/neighbors.knn_from_table_subset``): when
-       every valid query has >= k kept entries within its table reach,
-       the whole search is a filtered view — no sweep at all.
-    2. Kept/dropped split: a KEPT query's nearest candidate is itself
-       (d = 0), whose 1/clip(d^2, 1e-16) weight dominates the weighted
-       mean to ~1e-12 relative — so only the DROPPED queries (compacted
-       into a static-budget row) need the distance sweep, cutting its
-       query count ~40% at the flagship operating points.
-
-    Counted ``lax.cond`` fallbacks keep every path exact: table-miss
-    drops to the split, split-budget overflow drops to the full sweep.
-    Fallback counts land in eval telemetry.
+    NEGATIVE RESULTS folded in here (round 4, measured on v5e):
+    * serving the whole search as a filtered view of the row's shared
+      k=32 table — voxel-kept candidates are too sparse inside the
+      0.04/0.1 table bounds (15% of queries lack 3 kept entries), and the
+      (B, N, 32) rank-gather the view needs costs 5.3 ms/step alone;
+    * runtime ``lax.cond`` fallbacks (table-miss -> split -> full sweep)
+      — 7 conditionals/step measured 4.8 ms of pure overhead.
+    ``table_bound``/``grid_bound``/``grid_cap`` are accepted for call-site
+    stability but unused.
     """
     from . import telemetry
 
+    del table_bound, grid_bound, grid_cap
     k = min(k, cand_idx.shape[1])  # match knn()'s clamp on tiny rows
     if cand_pos is None:
         cand_pos = gather_rows(pos_full, cand_idx)
     b, n = full_valid.shape
     m = cand_idx.shape[1]
 
-    def _full_sweep(_=None):
-        return nbr_ops.knn(pos_full, cand_pos, full_valid, cand_valid, k)
-
-    # --- kept/dropped split ------------------------------------------------
     rank = _cand_rank(cand_idx, cand_valid, n)
     kept = (rank >= 0) & full_valid
     dropped = full_valid & ~kept
     budget = min(n, max(k, n - int(SPLIT_KEEP_FRAC * m)))
     from .sampling import mask_to_indices
 
-    d_idx, d_valid = mask_to_indices(dropped, budget)
-    n_drop = jnp.sum(dropped, axis=-1)
-    overflow = jnp.any(n_drop > budget)
+    d_idx, d_valid = mask_to_indices(dropped, budget, telemetry_name=None)
     if telemetry.active():
+        n_drop = jnp.sum(dropped, axis=-1)
         telemetry.record(f"fp_split_overflow.n{n}",
                          jnp.sum(jnp.maximum(n_drop - budget, 0)))
 
-    def _split(_=None):
-        q_drop = gather_rows(pos_full, d_idx)
-        di, dd = nbr_ops.knn(q_drop, cand_pos, d_valid, cand_valid, k)
-        slot0 = jax.lax.broadcasted_iota(jnp.int32, (b, n + 1, k), 2) == 0
-        base_i = jnp.where(
-            slot0 & jnp.pad(kept, ((0, 0), (0, 1)))[..., None],
-            jnp.pad(rank, ((0, 0), (0, 1)))[..., None], -1)
-        base_d = jnp.where(base_i >= 0, 0.0, _INF)
-        tgt = jnp.where(d_valid, d_idx, n)
-        out_i = jax.vmap(lambda o, t, v: o.at[t].set(v))(base_i, tgt, di)
-        out_d = jax.vmap(lambda o, t, v: o.at[t].set(v))(base_d, tgt, dd)
-        return out_i[:, :n], out_d[:, :n]
+    q_drop = gather_rows(pos_full, d_idx)
+    di, dd = nbr_ops.knn(q_drop, cand_pos, d_valid, cand_valid, k)
+    slot0 = jax.lax.broadcasted_iota(jnp.int32, (b, n + 1, k), 2) == 0
+    base_i = jnp.where(
+        slot0 & jnp.pad(kept, ((0, 0), (0, 1)))[..., None],
+        jnp.pad(rank, ((0, 0), (0, 1)))[..., None], -1)
+    base_d = jnp.where(base_i >= 0, 0.0, _INF)
+    tgt = jnp.where(d_valid, d_idx, n)
+    idx = jax.vmap(lambda o, t, v: o.at[t].set(v))(base_i, tgt, di)[:, :n]
+    dist = jax.vmap(lambda o, t, v: o.at[t].set(v))(base_d, tgt, dd)[:, :n]
 
-    def _split_or_full(_=None):
-        return jax.lax.cond(overflow, _full_sweep, _split, None)
-
-    # --- shared-table view -------------------------------------------------
-    res = nbr_ops.knn_from_table_subset(
-        pos_full, full_valid, cand_idx, cand_valid, k,
-        table_bound=table_bound, grid_bound=grid_bound, grid_cap=grid_cap)
-    if res is None:
-        idx, dist = _split_or_full()
-    else:
-        ok, t_i, t_d, n_unserv = res
-        if telemetry.active():
-            telemetry.record("fp_table_fallback", n_unserv)
-        idx, dist = jax.lax.cond(ok, lambda _: (t_i, t_d), _split_or_full,
-                                 None)
     mask = idx >= 0
     x_nbr = nbr_ops.gather_neighbors(x_cand, idx)
     return _weighted_mean(x_nbr, dist * dist, mask)

@@ -465,129 +465,18 @@ def subset_knn(pos, valid, sub_idx, sub_valid, k: int,
     return knn(q, pos, sub_valid, valid, k, radius=radius)
 
 
-def _peek_table(key, pos, valid):
-    """Cache lookup that never builds (identity-checked like _row_table)."""
-    if _TABLE_CACHE is None:
-        return None
-    hit = _TABLE_CACHE.get(key)
-    if hit is not None and hit[0] is pos and hit[1] is valid:
-        return hit[2]
-    return None
-
-
-def knn_from_table_subset(pos, valid, cand_idx, cand_valid, k: int,
-                          table_bound=None, grid_bound=None,
-                          grid_cap=None):
-    """Serve "k nearest among a row SUBSET, for every row point" from the
-    row's shared neighbor table, with a counted exact-fallback signal.
-
-    The fp upsample (reference ``point_ops.py:293-341`` knn_interpolate)
-    asks, for every full-row query, its k nearest DOWNSAMPLED points — and
-    the downsampled row is a subset of the query row (``cand_idx`` =
-    parent indices).  Every entry of a query's table row lies within that
-    query's table *reach* (min(table bound, K-th distance)), and every row
-    point NOT in the table lies beyond it; so whenever >= k kept entries
-    appear in the table row, they are EXACTLY the query's k nearest kept
-    points.  Queries failing the count can't be served (their k-th kept
-    neighbor is beyond reach) — the caller runs ONE whole-row exact search
-    under ``lax.cond`` instead, so semantics never change; the table view
-    is purely a fast path (deletes the (Q, M) distance sweep, ~3.5 ms/step
-    on the nuScenes flagship).
-
-    Peek-only: uses a table some other consumer of this row already built
-    this trace (encoder searches precede the fp), never builds one.
-
-    Returns ``None`` when no shared table exists, else
-    ``(ok, idx, dist, n_unservable)``: ``ok`` scalar bool (every valid
-    query servable), ``idx`` (B, N, k) int32 into the candidate array
-    (-1 pad), ``dist`` (B, N, k) f32 (INF pad) — meaningful only when
-    ``ok``; ``n_unservable`` scalar int for telemetry.
-    """
-    if pos.shape[-1] != 3 or _TABLE_CACHE is None:
-        return None
-    n = pos.shape[1]
-    table, bound = None, None
-    # same priority order as same_set_knn, so we find whichever table the
-    # row's other consumers actually built
-    if table_bound is not None and _proven_grid_first(
-            n, table_bound, grid_bound, grid_cap):
-        table = _peek_table(
-            (id(pos), id(valid), float(grid_bound), grid_cap), pos, valid)
-        bound = float(grid_bound)
-    if table is None and n <= TABLE_MAX_N:
-        b_key = None if table_bound is None else float(table_bound)
-        table = _peek_table((id(pos), id(valid), b_key), pos, valid)
-        bound = table_bound
-    if table is None and n > TABLE_MAX_N and table_bound is not None:
-        gr = _grid_table_radius(table_bound, grid_bound)
-        cap = grid_cap if (grid_bound is not None
-                           and gr == float(grid_bound)) else None
-        table = _peek_table((id(pos), id(valid), float(gr), cap), pos, valid)
-        bound = gr
-    if table is None:
-        return None
-    t_idx, t_dist = table                       # (B, N, K) ascending
-    kk = t_idx.shape[-1]
-    if k > kk:
-        return None
-
-    b, m = cand_idx.shape
-    # row -> candidate-slot rank (-1 where not kept); invalid candidate
-    # slots park in a dump row
-    dump = jnp.where(cand_valid, cand_idx, n)
-    rank = jnp.full((b, n + 1), -1, jnp.int32)
-    rank = jax.vmap(lambda r, d, a: r.at[d].set(a))(
-        rank, dump,
-        jnp.broadcast_to(jnp.arange(m, dtype=jnp.int32), (b, m)))
-    rank = rank[:, :n]
-
-    safe = jnp.maximum(t_idx, 0)
-    e_rank = jax.vmap(lambda rb, ib: rb[ib])(rank, safe)    # (B, N, K)
-    e_val = t_idx >= 0
-    e_kept = (e_rank >= 0) & e_val
-    cnt = jnp.cumsum(e_kept.astype(jnp.int32), axis=-1)
-    kept_count = cnt[..., -1]
-    count_valid = jnp.sum(e_val.astype(jnp.int32), axis=-1)
-    if bound is None:
-        # unbounded table with a short row holds EVERY valid row point:
-        # the filtered view is exhaustive even below k found
-        exhaustive = count_valid < kk
-    else:
-        # radius-truncated rows are never exhaustive (points beyond the
-        # bound are missing)
-        exhaustive = jnp.zeros(count_valid.shape, bool)
-    servable = (kept_count >= k) | exhaustive | ~valid
-    ok = jnp.all(servable)
-    n_unserv = jnp.sum(~servable)
-
-    from . import telemetry
-
-    if telemetry.active():
-        # diagnosis channels: mean table occupancy and kept count over
-        # valid queries localize a servability miss to the table layer
-        # (empty rows) vs the kept-rank layer (bad candidate indices)
-        vf = jnp.maximum(jnp.sum(valid), 1)
-        telemetry.record(
-            f"fp_table_count_valid.n{n}",
-            jnp.sum(jnp.where(valid, count_valid, 0)) / vf)
-        telemetry.record(
-            f"fp_table_kept_count.n{n}",
-            jnp.sum(jnp.where(valid, kept_count, 0)) / vf)
-
-    # compact the first k kept entries (ascending by construction): slot j
-    # <- the (j+1)-th kept entry, via k masked reductions over the K lanes
-    tgt = cnt - 1
-    out_i, out_d = [], []
-    for j in range(k):
-        selj = e_kept & (tgt == j)
-        found = jnp.any(selj, axis=-1) & valid
-        ij = jnp.sum(jnp.where(selj, e_rank, 0), axis=-1)
-        dj = jnp.sum(jnp.where(selj, t_dist, 0.0), axis=-1)
-        out_i.append(jnp.where(found, ij, -1))
-        out_d.append(jnp.where(found, dj, _INF))
-    idx = jnp.stack(out_i, axis=-1)
-    dist = jnp.stack(out_d, axis=-1)
-    return ok, idx, dist, n_unserv
+# NEGATIVE RESULT (round 4): serving the fp upsample's subset search as a
+# filtered VIEW of the row's shared k=32 table was built and measured, then
+# removed.  Correct in principle (every table entry is within the query's
+# reach, so >= k kept entries prove the answer), but (a) voxel-kept
+# candidates are too sparse inside the small table bounds — 15% of
+# flagship fp#4 queries lack 3 kept entries within 0.04, so the counted
+# whole-row fallback fired on every scan — and (b) the view's own
+# (B, N, 32) rank-gather costs 5.3 ms/step (element gathers pay the HBM
+# row rate), with lax.cond dispatch adding 4.8 ms across the fp steps.
+# The kept/dropped split (ops/interpolate.knn_interpolate_subset) keeps
+# the win without any of that.  Diagnosing the always-unservable tables
+# here is also what uncovered the denormal-flush grid-table corruption.
 
 
 def add_self_loops(idx: jax.Array, q_valid: jax.Array) -> jax.Array:

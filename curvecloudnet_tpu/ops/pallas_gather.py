@@ -370,5 +370,12 @@ def viable(n: int, q: int, k: int, c: int) -> bool:
     """
     if q != n or q * k < 64 * TILE_Q:
         return False
+    # deep fps-downsampled rows lose the curve-order locality the unique
+    # budget relies on: the flagship 5760 row measured 164 escaped unique
+    # rows per step on realistic synthetic (telemetry tile_gather_spill —
+    # escapees read zeros, a quality leak), while the 11520/23040 rows
+    # hold ~2x margin.  Gate the kernel to rows with proven margin.
+    if n < 8192:
+        return False
     mxu_ns = UMAX * _round_up(c, 128) * 2 / 197e3   # ns/row at bf16 peak
     return mxu_ns < 4.5

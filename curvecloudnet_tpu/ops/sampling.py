@@ -35,11 +35,15 @@ _BIG = jnp.float32(1e30)
 FPS_BACKEND = os.environ.get("CCN_FPS_BACKEND", "auto")
 
 
-def mask_to_indices(mask: jax.Array, budget: int):
+def mask_to_indices(mask: jax.Array, budget: int,
+                    telemetry_name: str | None = "budget"):
     """Convert a (B, N) selection mask to (B, M) ascending indices + validity.
 
     Selections beyond ``budget`` are dropped (a selection at a smaller index
-    always wins — scan order priority).
+    always wins — scan order priority).  ``telemetry_name=None`` suppresses
+    the overflow/occupancy channels (callers with their own counters, e.g.
+    the fp split sweep, would otherwise pollute the downsample-budget
+    channels tools/calibrate.py aggregates).
     """
     b, n = mask.shape
     # rank of each selected element among selections (0-based)
@@ -57,15 +61,15 @@ def mask_to_indices(mask: jax.Array, budget: int):
 
     from . import telemetry
 
-    if telemetry.active():
+    if telemetry.active() and telemetry_name is not None:
         # fraction of *selected* points dropped by the static budget, and
         # how full the budget ran (both batch means)
         sel_f = selected.astype(jnp.float32)
         telemetry.record(
-            "budget_overflow_frac",
+            f"{telemetry_name}_overflow_frac",
             jnp.mean(jnp.maximum(sel_f - budget, 0.0)
                      / jnp.maximum(sel_f, 1.0)))
-        telemetry.record("budget_occupancy",
+        telemetry.record(f"{telemetry_name}_occupancy",
                          jnp.mean(jnp.minimum(sel_f, budget) / budget))
     return out, idx_valid
 

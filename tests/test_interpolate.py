@@ -83,56 +83,9 @@ def _subset_case(rng, n=160, m=70, c=6, bound=None):
 
 
 def test_knn_interpolate_subset_matches_brute(rng):
-    """Table-view fp == direct search, with and without a prebuilt table."""
-    from curvecloudnet_tpu.ops import neighbors as N
-
+    """Kept/dropped split fp == the full-sweep search (kept queries are
+    self-dominated to ~1e-12 relative)."""
     x, ci, cv, pos, valid = _subset_case(rng)
-    want = interpolate.knn_interpolate(
-        x, jnp.take_along_axis(pos, ci[..., None], 1), cv, pos, valid, k=3)
-    # no scope -> table path unavailable -> brute
-    got_plain = interpolate.knn_interpolate_subset(x, ci, cv, pos, valid,
-                                                   k=3, table_bound=None)
-    np.testing.assert_allclose(np.asarray(got_plain), np.asarray(want),
-                               rtol=1e-5, atol=1e-5)
-    with N.shared_knn_scope():
-        # simulate the encoder consumer that builds the row table
-        N.same_set_knn(pos, valid, 16, radius=None, table_bound=None)
-        res = N.knn_from_table_subset(pos, valid, ci, cv, 3)
-        assert res is not None
-        ok = bool(res[0])
-        assert ok  # unbounded table: always servable
-        got = interpolate.knn_interpolate_subset(x, ci, cv, pos, valid, k=3)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
-                               rtol=1e-5, atol=1e-5)
-
-
-def test_knn_interpolate_subset_bounded_table_falls_back(rng):
-    """A tightly-bounded table can't serve sparse queries: the counted
-    lax.cond must fall back to the exact whole-row search."""
-    from curvecloudnet_tpu.ops import neighbors as N
-
-    x, ci, cv, pos, valid = _subset_case(rng)
-    want = interpolate.knn_interpolate(
-        x, jnp.take_along_axis(pos, ci[..., None], 1), cv, pos, valid, k=3)
-    with N.shared_knn_scope():
-        N.same_set_knn(pos, valid, 16, radius=0.05, table_bound=0.05)
-        res = N.knn_from_table_subset(pos, valid, ci, cv, 3,
-                                      table_bound=0.05)
-        assert res is not None and not bool(res[0])  # unservable somewhere
-        assert int(res[3]) > 0
-        got = interpolate.knn_interpolate_subset(x, ci, cv, pos, valid, k=3,
-                                                 table_bound=0.05)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
-                               rtol=1e-5, atol=1e-5)
-
-
-def test_knn_interpolate_subset_split_overflow_falls_back(rng):
-    """Mostly-invalid candidates overflow the dropped-query budget: the
-    split path's lax.cond must take the full sweep and stay exact."""
-    x, ci, cv, pos, valid = _subset_case(rng, n=160, m=40)
-    cv = np.array(cv)
-    cv[:, 5:] = False  # 5 valid candidates -> dropped >> budget
-    cv = jnp.asarray(cv)
     want = interpolate.knn_interpolate(
         x, jnp.take_along_axis(pos, ci[..., None], 1), cv, pos, valid, k=3)
     got = interpolate.knn_interpolate_subset(x, ci, cv, pos, valid, k=3)
@@ -140,30 +93,38 @@ def test_knn_interpolate_subset_split_overflow_falls_back(rng):
                                rtol=1e-5, atol=1e-5)
 
 
-def test_knn_from_table_subset_peek_only(rng):
-    """Without a prior consumer the view must NOT build a table."""
-    from curvecloudnet_tpu.ops import neighbors as N
+def test_knn_interpolate_subset_overflow_is_counted_and_bounded(rng):
+    """When the dropped-query budget overflows, excess queries keep zero
+    neighbors (static-budget-plus-telemetry contract, like the grid
+    caps); in-budget queries stay exact and telemetry counts the rest."""
+    from curvecloudnet_tpu.ops import telemetry
+    from curvecloudnet_tpu.ops.interpolate import SPLIT_KEEP_FRAC
 
-    _, ci, cv, pos, valid = _subset_case(rng)
-    with N.shared_knn_scope():
-        assert N.knn_from_table_subset(pos, valid, ci, cv, 3) is None
-        assert not N._TABLE_CACHE  # still empty
+    x, ci, cv, pos, valid = _subset_case(rng, n=160, m=40)
+    cv = np.array(cv)
+    cv[:, 5:] = False  # 5 valid candidates -> dropped >> budget
+    cv = jnp.asarray(cv)
+    n, m = 160, 40
+    budget = min(n, max(3, n - int(SPLIT_KEEP_FRAC * m)))
+    kept_rows = set(np.asarray(ci)[0][np.asarray(cv)[0]].tolist())
+    dropped_rows = [i for i in range(n)
+                    if np.asarray(valid)[0][i] and i not in kept_rows]
+    served = set(dropped_rows[:budget]) | kept_rows
 
-
-def test_knn_from_table_subset_servable_values_exact(rng):
-    """When servable, idx/dist must equal the exact subset search."""
-    from curvecloudnet_tpu.ops import neighbors as N
-
-    _, ci, cv, pos, valid = _subset_case(rng)
-    cand_pos = jnp.take_along_axis(pos, ci[..., None], 1)
-    want_i, want_d = N.knn(pos, cand_pos, valid, cv, 3)
-    with N.shared_knn_scope():
-        N.same_set_knn(pos, valid, 16, radius=None, table_bound=None)
-        ok, idx, dist, _ = N.knn_from_table_subset(pos, valid, ci, cv, 3)
-    assert bool(ok)
-    np.testing.assert_array_equal(np.asarray(idx), np.asarray(want_i))
-    np.testing.assert_allclose(np.asarray(dist), np.asarray(want_d),
-                               rtol=1e-6, atol=1e-6)
+    want = interpolate.knn_interpolate(
+        x, jnp.take_along_axis(pos, ci[..., None], 1), cv, pos, valid, k=3)
+    with telemetry.capture() as cap:
+        got = interpolate.knn_interpolate_subset(x, ci, cv, pos, valid, k=3)
+        stats = cap.current()
+    ov = [v for kk, v in stats.items() if kk.startswith("fp_split_overflow")]
+    assert int(ov[0]) == max(0, len(dropped_rows) - budget)
+    got, want = np.asarray(got), np.asarray(want)
+    for i in sorted(served):
+        np.testing.assert_allclose(got[0, i], want[0, i], rtol=1e-5,
+                                   atol=1e-5)
+    # overflowed queries produce zeros, not garbage
+    for i in dropped_rows[budget:]:
+        np.testing.assert_array_equal(got[0, i], 0.0)
 
 
 def test_pos_pack_roundtrip_is_exact(rng):
