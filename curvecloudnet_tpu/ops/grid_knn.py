@@ -28,22 +28,10 @@ affordable cap; measured at the nuScenes flagship 23040-row r=0.04 table:
 max 156/cell over seeds, so cap=192 is lossless there (tests/
 test_grid_recall.py pins the operating points).
 
-Strip rows (``strip=3``, NEGATIVE result, off by default): each table row
-covers THREE x-adjacent cells (each point scatters into the strips at
-x-1, x, x+1; rows are 3*cap wide), so a query fetches only the NINE
-strips (q_x, q_y+dy, q_z+dz) — 3x fewer row fetches for identical recall
-semantics (each in-radius point appears in exactly one fetched strip).
-A/B on v5e (tools/grid_ab.py, scan-chained, overflow_planes=2):
-73728 r=0.04 cap=192: 85.5 -> 98.8 ms; 36864 r=0.1 cap=128:
-33.2 -> 36.5 ms; 131072 r=0.04 cap=192: 155.6 -> 162.3 ms.  The 3x
-bigger rank sort (3N entries; ~400k rows at KITTI) plus the +14% wider
-extraction (11*3cap vs 29*cap planes) outweigh the saved gathers — the
-plane gathers were already amortized across k-extraction rounds.  Kept
-behind ``strip=3`` / env ``CCN_GRID_STRIP=3`` so the A/B stays runnable.
-KNOWN strip-mode caveat: a point whose cell x clips at the coordinate
-boundary lands twice in ONE strip row (offsets -1 and 0 both clip to
-strip 0), an intra-row duplicate the per-query row dedup below cannot
-see — another reason the layout stays off-path.
+Strip rows (3 x-adjacent cells per row, 3x fewer fetches) were built,
+measured NEGATIVE at all three operating points, and deleted in round 4
+(the 3x rank sort + 14% wider extraction beat the saved fetches; full
+numbers in docs/ROADMAP.md "Parked floors").
 
 Hash collisions are harmless for correctness: colliding far cells' points
 fail the radius test; colliding near cells' points are genuine in-radius
@@ -72,9 +60,6 @@ _NEIGHBOR_OFFSETS = np.array(
 _NEIGHBOR_OFFSETS8 = np.array(
     [[dx, dy, dz] for dx in (0, 1) for dy in (0, 1)
      for dz in (0, 1)], np.int32)      # (8, 3)
-_NEIGHBOR_OFFSETS_YZ = np.array(
-    [[0, dy, dz] for dy in (-1, 0, 1) for dz in (-1, 0, 1)],
-    np.int32)                          # (9, 3) — strip rows span x already
 
 
 def default_hash_bits(n: int) -> int:
@@ -155,8 +140,7 @@ def _bucket(coords: jax.Array, hash_bits: int) -> jax.Array:
 
 def grid_knn_single(query, points, q_valid, p_valid, k: int, radius: float,
                     cap: int = 16, stencil: int = 27,
-                    hash_bits: int | None = None, overflow_planes: int = 0,
-                    strip: int | None = None):
+                    hash_bits: int | None = None, overflow_planes: int = 0):
     """Single-sample grid kNN. query (Q,3), points (N,3) -> (Q,k) idx/dist.
 
     ``overflow_planes``: points a dense cell drops at ``cap`` spill into
@@ -167,33 +151,18 @@ def grid_knn_single(query, points, q_valid, p_valid, k: int, radius: float,
     planes (384) make the 8-stencil table exact there at +25% extraction
     width instead of the 2x a lossless per-cell cap would cost.
 
-    ``strip``: cells per table row along x (see module docstring — a
-    measured NEGATIVE, default 1; env CCN_GRID_STRIP=3 re-enables for the
-    27-stencil).  ``cap`` stays the PER-CELL budget; rows hold
-    ``strip * cap`` records.
     """
     import os
 
     n = points.shape[0]
-    if strip is None:
-        strip = (int(os.environ.get("CCN_GRID_STRIP", "1"))
-                 if stencil == 27 else 1)
     if hash_bits is None:
         hash_bits = default_hash_bits(n)
     nbuckets = 1 << hash_bits
     cell = radius if stencil == 27 else 2.0 * radius
     cc = _cell_coords(points, cell)
-    if strip == 3:
-        # each point lands in the 3 strips (x-1, x, x+1, y, z) whose
-        # 3-cell x coverage includes its cell
-        offs_x = np.array([[-1, 0, 0], [0, 0, 0], [1, 0, 0]], np.int32)
-        sc = jnp.clip(cc[None, :, :] + offs_x[:, None, :], 0, _MASK)
-        bucket = _bucket(sc, hash_bits).reshape(-1)          # (3N,)
-        p_valid = jnp.tile(p_valid, strip)
-    else:
-        bucket = _bucket(cc, hash_bits)
-    m = n * strip
-    cap_row = cap * strip
+    bucket = _bucket(cc, hash_bits)
+    m = n
+    cap_row = cap
     bucket = jnp.where(p_valid, bucket, nbuckets)  # park invalid
 
     # rank within bucket via one sort.  The secondary key is a hashed
@@ -237,8 +206,6 @@ def grid_knn_single(query, points, q_valid, p_valid, k: int, radius: float,
         jnp.int32(_IDX_BIAS) | (jnp.arange(n, dtype=jnp.int32) + 1),
         jnp.float32)
     rec = jnp.concatenate([points, enc[:, None]], axis=-1)
-    if strip > 1:
-        rec = jnp.tile(rec, (strip, 1))  # matches the (strip, N) reshape
     fill = jnp.repeat(jnp.array([_INF, _INF, _INF, 2.0], jnp.float32),
                       cap_row)
     # rows: [0, nbuckets) cells, nbuckets = parked invalid/overflowed,
@@ -260,7 +227,7 @@ def grid_knn_single(query, points, q_valid, p_valid, k: int, radius: float,
     from . import telemetry
 
     if telemetry.active():
-        # (point, strip) entries dropped by the per-row cap (and past the
+        # entries dropped by the per-row cap (and past the
         # overflow planes) = potential recall loss; surfaced like the
         # budget overflow counters (round-2 verdict)
         telemetry.record(f"grid_cap_drop.n{n}.r{radius:g}.s{stencil}",
@@ -271,8 +238,7 @@ def grid_knn_single(query, points, q_valid, p_valid, k: int, radius: float,
 
     if stencil == 27:
         qc = _cell_coords(query, cell)  # (Q, 3)
-        offs = (_NEIGHBOR_OFFSETS if strip == 1
-                else _NEIGHBOR_OFFSETS_YZ)  # strips carry the x extent
+        offs = _NEIGHBOR_OFFSETS
     else:
         # 8-stencil: the ball [q-r, q+r] (width 2r <= cell) spans at most
         # two cells per axis, anchored at floor((q - r) / cell)
@@ -408,12 +374,12 @@ def _finalize(top_d2, top_idx, k: int, k_eff: int):
 
 @functools.partial(jax.jit, static_argnames=("k", "radius", "cap", "stencil",
                                              "hash_bits", "overflow_planes",
-                                             "strip"))
+))
 def grid_knn(query, points, q_valid, p_valid, k: int, radius: float,
              cap: int = 16, stencil: int = 27, hash_bits: int | None = None,
-             overflow_planes: int = 0, strip: int | None = None):
+             overflow_planes: int = 0):
     """Batched grid-hash fixed-radius kNN (ops.neighbors.knn signature)."""
     fn = functools.partial(grid_knn_single, k=k, radius=radius, cap=cap,
                            stencil=stencil, hash_bits=hash_bits,
-                           overflow_planes=overflow_planes, strip=strip)
+                           overflow_planes=overflow_planes)
     return jax.vmap(fn)(query, points, q_valid, p_valid)

@@ -324,20 +324,7 @@ def _row_table(pos: jax.Array, valid: jax.Array,
     if hit is not None and hit[0] is pos and hit[1] is valid:
         return hit[2]
     n = pos.shape[1]
-    if (bound is not None and pos.shape[-1] == 3 and n >= 8192
-            and _pick_backend(3, bound, n) == "pallas"
-            and os.environ.get("CCN_KNN_GATED", "0") == "1"):
-        # NEGATIVE RESULT, off by default: morton + exact precomputed box
-        # gates measured 22.9 vs 14.2 ms at the 23040 r=0.04 table — a
-        # Mosaic cond (~8us) costs more than the (256,2048) distance pass
-        # it skips (~5us).  See pallas_knn.knn_table_sorted.
-        from . import pallas_knn
-
-        idx, dist = pallas_knn.knn_table_sorted(
-            pos, valid, min(TABLE_K, n), float(bound))
-        table = (idx, dist)
-    else:
-        table = knn(pos, pos, valid, valid, min(TABLE_K, n), radius=bound)
+    table = knn(pos, pos, valid, valid, min(TABLE_K, n), radius=bound)
     _TABLE_CACHE[key] = (pos, valid, table)
     return table
 

@@ -143,146 +143,6 @@ def _grid_topk_kernel(*refs, k: int, cap: int, ncells: int, tile_q: int,
     out_i[:] = jnp.where(good, best_i, -1)
 
 
-def _grid_topk_kernel_v2(*refs, k: int, cap: int, ncells: int, tile_q: int,
-                         r2: float, visit_order: tuple):
-    """v2: per-cell threshold-skipped extraction instead of one full-width
-    extraction.
-
-    v1 runs k min-extraction rounds over the whole (TQ, 27*cap) candidate
-    row — 32 x 3 x 5184 VPU ops per query at KITTI scale.  Here cells are
-    visited center-first (the query's own cell almost always holds the k
-    nearest within r); each cell pays its distance pass, and only cells
-    where some query still sees d2 < t = min(kth-best, r^2) run the k-round
-    extraction over their own cap-wide plane + a 2k-lane merge (the
-    ops/pallas_knn.py scheme).  Same contract as v1 up to packed-bit
-    quantization (FEWER bits dropped here: next_pow2(cap) instead of
-    next_pow2(27*cap)) and tie order.
-
-    NEGATIVE RESULT (v5e, kept off the default path): 2-2.7x slower than
-    v1 at KITTI shape — the 27 lax.cond gates per tile outweigh the
-    extraction rounds they skip.  See grid_topk_records.
-    """
-    cand_refs = refs[:ncells]
-    q_ref = refs[ncells]
-    out_d, out_i = refs[ncells + 1], refs[ncells + 2]
-    pw = 1
-    while pw < cap:
-        pw *= 2
-    low_mask = pw - 1
-    sent = jnp.int32(0x7F800000 | low_mask)
-    two_k = 2 * k
-    pw2 = 1
-    while pw2 < two_k:
-        pw2 *= 2
-    pmask = pw2 - 1
-    sent_mrg = jnp.int32(0x7F800000 | pmask)
-
-    qx = q_ref[:, 0:1]
-    qy = q_ref[:, 1:2]
-    qz = q_ref[:, 2:3]
-    qv = q_ref[:, 3:4] > 0
-    colc = jax.lax.broadcasted_iota(jnp.int32, (tile_q, cap), 1)
-    pos_iota = jax.lax.broadcasted_iota(jnp.int32, (tile_q, two_k), 1)
-    slot = jax.lax.broadcasted_iota(jnp.int32, (tile_q, k), 1)
-
-    def extract_cell(packed, ivals, best_d, best_i):
-        def round_body(j, st):
-            cd, ci, m_prev = st
-            m = jnp.min(jnp.where(packed > m_prev, packed, sent),
-                        axis=-1, keepdims=True)
-            ival = jnp.sum(jnp.where(packed == m, ivals, 0), axis=-1,
-                           keepdims=True)
-            at = slot == j
-            cd = jnp.where(at, m, cd)
-            ci = jnp.where(at, ival, ci)
-            return cd, ci, m
-
-        cd = jnp.full((tile_q, k), sent, jnp.int32)
-        ci = jnp.full((tile_q, k), -1, jnp.int32)
-        cd, ci, _ = jax.lax.fori_loop(
-            0, k, round_body,
-            (cd, ci, jnp.full((tile_q, 1), jnp.int32(-2**31))))
-        cand_d = jax.lax.bitcast_convert_type(
-            jnp.bitwise_and(cd, jnp.int32(~low_mask)), jnp.float32)
-
-        all_d = jnp.concatenate([best_d, cand_d], axis=-1)
-        all_i = jnp.concatenate([best_i, ci], axis=-1)
-        mb = jnp.bitwise_or(
-            jnp.bitwise_and(
-                jax.lax.bitcast_convert_type(all_d, jnp.int32),
-                jnp.int32(~pmask)),
-            pos_iota)
-
-        def merge_body(j, st):
-            nd, ni, m_prev = st
-            m = jnp.min(jnp.where(mb > m_prev, mb, sent_mrg),
-                        axis=-1, keepdims=True)
-            pos = jnp.bitwise_and(m, jnp.int32(pmask))
-            dval = jax.lax.bitcast_convert_type(
-                jnp.bitwise_and(m, jnp.int32(~pmask)), jnp.float32)
-            ival = jnp.sum(jnp.where(pos_iota == pos, all_i, 0),
-                           axis=-1, keepdims=True)
-            at = slot == j
-            nd = jnp.where(at, dval, nd)
-            ni = jnp.where(at, ival, ni)
-            return nd, ni, m
-
-        nd = jnp.full((tile_q, k), _INF, jnp.float32)
-        ni = jnp.full((tile_q, k), -1, jnp.int32)
-        nd, ni, _ = jax.lax.fori_loop(
-            0, k, merge_body,
-            (nd, ni, jnp.full((tile_q, 1), jnp.int32(-2**31))))
-        return nd, ni
-
-    best_d = jnp.full((tile_q, k), _INF, jnp.float32)
-    best_i = jnp.full((tile_q, k), -1, jnp.int32)
-    t = jnp.where(qv, jnp.float32(r2), -_INF)
-
-    for c in visit_order:
-        px = cand_refs[c][:, 0:cap]
-        py = cand_refs[c][:, cap:2 * cap]
-        pz = cand_refs[c][:, 2 * cap:3 * cap]
-        ib = jnp.bitwise_and(
-            jax.lax.bitcast_convert_type(
-                cand_refs[c][:, 3 * cap:4 * cap], jnp.int32),
-            jnp.int32(0x7FFFFF)) - 1  # biased decode, see grid_knn
-        d2 = (px - qx) ** 2 + (py - qy) ** 2 + (pz - qz) ** 2
-        d2 = jnp.where((ib >= 0) & (d2 <= r2) & qv, d2, _INF)
-        hit = jnp.any(d2 < t)
-
-        def with_extract(args, d2=d2, ib=ib):
-            best_d, best_i = args
-            bits = jax.lax.bitcast_convert_type(d2, jnp.int32)
-            packed = jnp.bitwise_or(
-                jnp.bitwise_and(bits, jnp.int32(~low_mask)), colc)
-            nd, ni = extract_cell(packed, ib, best_d, best_i)
-            new_t = jnp.minimum(
-                jnp.max(nd, axis=-1, keepdims=True), jnp.float32(r2))
-            new_t = jnp.where(qv, new_t, -_INF)
-            return nd, ni, new_t
-
-        best_d, best_i, t = jax.lax.cond(
-            hit, with_extract, lambda args: (args[0], args[1], t),
-            (best_d, best_i))
-
-    good = (best_d < _INF * 0.98) & qv
-    out_d[:] = jnp.where(good, best_d, _INF)
-    out_i[:] = jnp.where(good, best_i, -1)
-
-
-# visit order: center cell, faces, edges, corners (offsets are lexicographic
-# (-1,0,1)^3 in grid_knn._NEIGHBOR_OFFSETS)
-def _visit_order(ncells: int) -> tuple:
-    if ncells != 27:
-        return tuple(range(ncells))
-    import numpy as _np
-
-    offs = _np.array([[dx, dy, dz] for dx in (-1, 0, 1) for dy in (-1, 0, 1)
-                      for dz in (-1, 0, 1)])
-    return tuple(int(i) for i in _np.argsort((offs ** 2).sum(-1),
-                                             kind="stable"))
-
-
 def _pick_tile(q: int, cap: int, ncells: int) -> int:
     """Largest tile <=256 that divides q (no padding => no multi-GB pad
     copy of the gathered rows), budgeted for VMEM."""
@@ -308,8 +168,6 @@ def grid_topk_records(table: jax.Array, nbr_buckets: jax.Array,
     :func:`topk_smallest`.  The per-cell gathers happen here so each
     kernel operand is an independent clean-tiled (Q, cap*4) plane.
     """
-    import os
-
     q, ncells = nbr_buckets.shape
     if tile_q is None:
         tile_q = _pick_tile(q, cap, ncells)
@@ -320,28 +178,19 @@ def grid_topk_records(table: jax.Array, nbr_buckets: jax.Array,
         [query.astype(jnp.float32),
          q_valid.astype(jnp.float32)[:, None]], axis=-1)
     qq = jnp.pad(qq, ((0, qp - q), (0, 0)))
-    # v1 (default): one full-width extraction.  The per-cell
-    # threshold-skipped v2 measured 2-2.7x SLOWER at KITTI shape
-    # (87 -> 164 ms at r=0.1, 83 -> 220 ms at r=0.04, q=73728 n=131072):
-    # 27 lax.cond gates per tile cost more than the skipped extraction
-    # rounds save (the same Mosaic control-flow tax as every kNN skip
-    # experiment).  CCN_GRID_TAIL=v2 keeps it measurable.
-    v2 = os.environ.get("CCN_GRID_TAIL", "v1") == "v2"
-    if v2:
-        kernel = functools.partial(
-            _grid_topk_kernel_v2, k=k, cap=cap, ncells=ncells,
-            tile_q=tile_q, r2=float(radius) * float(radius),
-            visit_order=_visit_order(ncells))
-        scratch = []
-    else:
-        kernel = functools.partial(_grid_topk_kernel, k=k, cap=cap,
-                                   ncells=ncells, tile_q=tile_q,
-                                   r2=float(radius) * float(radius))
-        w = ncells * cap
-        scratch = [
-            pltpu.VMEM((tile_q, w), jnp.int32),
-            pltpu.VMEM((tile_q, w), jnp.int32),
-        ]
+    # one full-width extraction.  (A per-cell threshold-skipped variant
+    # measured 2-2.7x SLOWER at KITTI shape — 27 lax.cond gates per tile
+    # cost more than the extraction rounds they skip, the same Mosaic
+    # control-flow tax as every kNN skip experiment; deleted in round 4,
+    # numbers in docs/ROADMAP.md "Parked floors".)
+    kernel = functools.partial(_grid_topk_kernel, k=k, cap=cap,
+                               ncells=ncells, tile_q=tile_q,
+                               r2=float(radius) * float(radius))
+    w = ncells * cap
+    scratch = [
+        pltpu.VMEM((tile_q, w), jnp.int32),
+        pltpu.VMEM((tile_q, w), jnp.int32),
+    ]
     out_d, out_i = pl.pallas_call(
         kernel,
         grid=(qp // tile_q,),

@@ -61,20 +61,11 @@ def test_grid_knn_no_invalid_neighbors(rng):
     assert (i < 50).all()  # -1 or a valid index < 50
 
 
-@pytest.mark.parametrize("variant", ["v1", "v2"])
-def test_grid_topk_records_kernel_matches_xla_tail(rng, variant,
-                                                   monkeypatch):
+def test_grid_topk_records_kernel_matches_xla_tail(rng):
     """The fused Pallas grid tail (distances+mask+extraction off raw record
     rows, ops/pallas_topk.grid_topk_records) == the XLA tail it replaces,
-    in interpreter mode on synthetic bucket rows.  Covers both the
-    full-width (v1) and per-cell threshold-skipped (v2) kernels."""
-    import jax
+    in interpreter mode on synthetic bucket rows."""
     from curvecloudnet_tpu.ops import pallas_topk
-
-    monkeypatch.setenv("CCN_GRID_TAIL", variant)
-    # the variant env is read at trace time; drop the jit cache so both
-    # parametrizations actually compile their own kernel
-    jax.clear_caches()
 
     q_n, cap, ncells, k, radius = 96, 16, 27, 8, 0.3
     w = ncells * cap

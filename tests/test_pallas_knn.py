@@ -8,11 +8,9 @@ from curvecloudnet_tpu.ops import neighbors
 from curvecloudnet_tpu.ops.pallas_knn import knn_pallas
 
 
-@pytest.fixture(params=["v2", "aabb", "mxu"], autouse=True)
-def knn_variant(request, monkeypatch):
-    """Run every case against all kernels (CCN_KNN_VARIANT dispatch)."""
-    monkeypatch.setenv("CCN_KNN_VARIANT", request.param)
-    return request.param
+# (The aabb / mxu kernel variants and their CCN_KNN_VARIANT dispatch were
+# deleted in round 4 — gate-family experiments closed as negative; see
+# docs/ROADMAP.md "Parked floors".)
 
 
 @pytest.mark.parametrize("k,q_n,n", [(4, 100, 300), (16, 257, 513)])
@@ -36,31 +34,6 @@ def test_pallas_knn_matches_xla(rng, k, q_n, n):
     ip = np.asarray(idx_p)
     assert (ip[finite] >= 0).all()
     assert (ip[~finite] == -1).all()
-
-
-def test_knn_table_sorted_matches_oracle(rng):
-    """Morton-permuted gated same-set table == radius-filtered exact kNN
-    (indices exact; distances up to packed-bit quantization and the
-    oracle's |a|^2+|b|^2-2ab cancellation skew)."""
-    from curvecloudnet_tpu.ops.pallas_knn import knn_table_sorted
-
-    b, n, k, r = 2, 700, 8, 0.25
-    pos = rng.uniform(-1, 1, (b, n, 3)).astype(np.float32)
-    valid = rng.random((b, n)) > 0.15
-    gi, gd = knn_table_sorted(jnp.asarray(pos), jnp.asarray(valid), k, r,
-                              interpret=True)
-    xi, xd = neighbors.knn(jnp.asarray(pos), jnp.asarray(pos),
-                           jnp.asarray(valid), jnp.asarray(valid), k,
-                           radius=r)
-    gd_, xd_ = np.asarray(gd), np.asarray(xd)
-    gfin, xfin = gd_ < 1e20, xd_ < 1e20
-    np.testing.assert_array_equal(gfin, xfin)
-    # atol: the ORACLE's |a|^2+|b|^2-2ab form cancels to ~7e-4 on exact
-    # self-distances where the kernel's (a-b)^2 gives exactly 0
-    np.testing.assert_allclose(gd_[gfin], xd_[gfin], rtol=2e-2, atol=1e-3)
-    gi_, xi_ = np.asarray(gi), np.asarray(xi)
-    assert (gi_[gfin] == xi_[gfin]).mean() > 0.99  # ties may reorder
-    assert (gi_[~gfin] == -1).all()
 
 
 def test_pallas_knn_radius(rng):

@@ -30,8 +30,7 @@ from curvecloudnet_tpu.data.synthetic import synthetic_lidar_batch
 from curvecloudnet_tpu.ops import neighbors, sampling
 from curvecloudnet_tpu.ops.grid_knn import grid_knn
 from curvecloudnet_tpu.ops.pallas_fps import fps_pallas
-from curvecloudnet_tpu.ops.pallas_knn import (knn_pallas_single,
-                                              knn_pallas_single_aabb)
+from curvecloudnet_tpu.ops.pallas_knn import knn_pallas_single
 from curvecloudnet_tpu.ops.pallas_topk import topk_smallest
 
 FAILURES = []
@@ -91,10 +90,8 @@ def main():
         return run
 
     check("pallas_knn v2 k=32", knn_variant(knn_pallas_single, 32, None))
-    check("pallas_knn aabb k=32",
-          knn_variant(knn_pallas_single_aabb, 32, None))
-    check("pallas_knn aabb k=20 r=0.04",
-          knn_variant(knn_pallas_single_aabb, 20, 0.04))
+    check("pallas_knn v2 k=20 r=0.04",
+          knn_variant(knn_pallas_single, 20, 0.04))
 
     def fps_check():
         idx, iv = jax.jit(lambda p, v: fps_pallas(p, v, 0.25))(pos, valid)
