@@ -288,7 +288,8 @@ def grid_knn_single(query, points, q_valid, p_valid, k: int, radius: float,
         k_eff = min(k, c_)
         if mode == "records":
             top_d2, top_idx = pallas_topk.grid_topk_records(
-                table, nbr_buckets, query, q_valid, k_eff, cap_row, radius)
+                table, nbr_buckets, query, q_valid, k_eff, cap_row, radius,
+                idx_bound=n)
             return _finalize(top_d2, top_idx, k, k_eff)
         qx, qy, qz = query[:, 0:1], query[:, 1:2], query[:, 2:3]
         r2 = radius * radius

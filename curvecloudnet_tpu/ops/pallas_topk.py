@@ -72,7 +72,7 @@ def _round_up(x, m):
 
 
 def _grid_topk_kernel(*refs, k: int, cap: int, ncells: int, tile_q: int,
-                      r2: float):
+                      r2: float, idx_bound: int = 0):
     """Distances + radius mask + packed min-extraction over raw grid rows.
 
     refs: ncells x (tile_q, cap*4) f32 bucket-row planes in the table's
@@ -81,14 +81,24 @@ def _grid_topk_kernel(*refs, k: int, cap: int, ncells: int, tile_q: int,
     then outputs + scratch.  One plane per neighbor cell keeps every
     operand 2D and reshape/pad-free — merging them in XLA re-tiles the
     multi-GB candidate array twice (measured 55 ms/step at KITTI scale).
+
+    ``idx_bound > 0`` enables ONE-PASS rounds: the packed low bits carry
+    the candidate's POINT INDEX + 1 directly (distinct per query — the
+    stencil-row dedup in grid_knn guarantees a point appears at most once
+    among a query's candidates), so each round is a single lane-min; the
+    per-round ival select-sum pass and the (TQ, W) ival scratch disappear
+    (~2x on the extraction loop).  Costs coarser d2 quantization
+    (ceil_log2(idx_bound) low mantissa bits instead of log2(W)); the
+    caller keeps the col scheme when that exceeds its quantization budget.
     """
     cand_refs = refs[:ncells]
     q_ref = refs[ncells]
     out_d, out_i = refs[ncells + 1], refs[ncells + 2]
-    packed_s, ival_s = refs[ncells + 3], refs[ncells + 4]
+    packed_s = refs[ncells + 3]
+    ival_s = refs[ncells + 4] if idx_bound == 0 else None
     w = ncells * cap
     pw = 1
-    while pw < w:
+    while pw < (idx_bound + 1 if idx_bound else w):
         pw *= 2
     low_mask = pw - 1
     sent = jnp.int32(0x7F800000 | low_mask)
@@ -104,28 +114,33 @@ def _grid_topk_kernel(*refs, k: int, cap: int, ncells: int, tile_q: int,
         pz = cand_refs[c][:, 2 * cap:3 * cap]
         # biased-index decode (grid_knn._decode_idx): records store
         # 0x40000000 | (idx+1) so the f32 field is never a denormal/NaN
-        ib = jnp.bitwise_and(
+        ibp1 = jnp.bitwise_and(
             jax.lax.bitcast_convert_type(
                 cand_refs[c][:, 3 * cap:4 * cap], jnp.int32),
-            jnp.int32(0x7FFFFF)) - 1
+            jnp.int32(0x7FFFFF))                    # idx + 1; 0 = empty
         d2 = (px - qx) ** 2 + (py - qy) ** 2 + (pz - qz) ** 2
-        good = (ib >= 0) & (d2 <= r2) & qv
+        good = (ibp1 > 0) & (d2 <= r2) & qv
         bits = jax.lax.bitcast_convert_type(
             jnp.where(good, d2, _INF), jnp.int32)
+        payload = ibp1 if idx_bound else colc + c * cap
         packed_s[:, c * cap:(c + 1) * cap] = jnp.bitwise_or(
-            jnp.bitwise_and(bits, jnp.int32(~low_mask)), colc + c * cap)
-        ival_s[:, c * cap:(c + 1) * cap] = ib
+            jnp.bitwise_and(bits, jnp.int32(~low_mask)), payload)
+        if ival_s is not None:
+            ival_s[:, c * cap:(c + 1) * cap] = ibp1 - 1
 
     packed = packed_s[:]
-    ivals = ival_s[:]
+    ivals = ival_s[:] if ival_s is not None else None
     slot = jax.lax.broadcasted_iota(jnp.int32, (tile_q, k), 1)
 
     def body(j, st):
         best_d, best_i, m_prev = st
         m = jnp.min(jnp.where(packed > m_prev, packed, sent),
                     axis=-1, keepdims=True)
-        sel = packed == m
-        ival = jnp.sum(jnp.where(sel, ivals, 0), axis=-1, keepdims=True)
+        if idx_bound:
+            ival = jnp.bitwise_and(m, jnp.int32(low_mask)) - 1
+        else:
+            sel = packed == m
+            ival = jnp.sum(jnp.where(sel, ivals, 0), axis=-1, keepdims=True)
         dval = jax.lax.bitcast_convert_type(
             jnp.bitwise_and(m, jnp.int32(~low_mask)), jnp.float32)
         at = slot == j
@@ -153,13 +168,21 @@ def _pick_tile(q: int, cap: int, ncells: int) -> int:
     return budget
 
 
+# idx-payload rounds are enabled while keeping >= this many high bits of
+# d2 in the packed value (sign+exp8+mantissa: 16 bits ~ 2^-8 relative d2
+# quantization, 2x the reference's own FRNN f32 ULP band at these scales;
+# tables over 2^16 rows keep the finer col payload + ival pass).
+_IDX_PACK_MAX_BITS = 16
+
+
 @functools.partial(jax.jit,
                    static_argnames=("k", "cap", "radius", "tile_q",
-                                    "interpret"))
+                                    "idx_bound", "interpret"))
 def grid_topk_records(table: jax.Array, nbr_buckets: jax.Array,
                       query: jax.Array, q_valid: jax.Array,
                       k: int, cap: int, radius: float,
-                      tile_q: int | None = None, interpret: bool = False):
+                      tile_q: int | None = None, idx_bound: int = 0,
+                      interpret: bool = False):
     """Top-k nearest within ``radius`` from grid bucket rows.
 
     table (NB+1, cap*4) f32 record table and nbr_buckets (Q, ncells) from
@@ -167,6 +190,10 @@ def grid_topk_records(table: jax.Array, nbr_buckets: jax.Array,
     point-index (Q, k)) with the packed-extraction low-bit quantization of
     :func:`topk_smallest`.  The per-cell gathers happen here so each
     kernel operand is an independent clean-tiled (Q, cap*4) plane.
+
+    ``idx_bound``: largest point index + 1 in the table.  When it fits
+    ``_IDX_PACK_MAX_BITS`` the kernel runs one-pass rounds (index in the
+    packed payload — see _grid_topk_kernel), halving extraction time.
     """
     q, ncells = nbr_buckets.shape
     if tile_q is None:
@@ -178,6 +205,7 @@ def grid_topk_records(table: jax.Array, nbr_buckets: jax.Array,
         [query.astype(jnp.float32),
          q_valid.astype(jnp.float32)[:, None]], axis=-1)
     qq = jnp.pad(qq, ((0, qp - q), (0, 0)))
+    use_idx = 0 < idx_bound <= (1 << _IDX_PACK_MAX_BITS) - 1
     # one full-width extraction.  (A per-cell threshold-skipped variant
     # measured 2-2.7x SLOWER at KITTI shape — 27 lax.cond gates per tile
     # cost more than the extraction rounds they skip, the same Mosaic
@@ -185,12 +213,12 @@ def grid_topk_records(table: jax.Array, nbr_buckets: jax.Array,
     # numbers in docs/ROADMAP.md "Parked floors".)
     kernel = functools.partial(_grid_topk_kernel, k=k, cap=cap,
                                ncells=ncells, tile_q=tile_q,
-                               r2=float(radius) * float(radius))
+                               r2=float(radius) * float(radius),
+                               idx_bound=idx_bound if use_idx else 0)
     w = ncells * cap
-    scratch = [
-        pltpu.VMEM((tile_q, w), jnp.int32),
-        pltpu.VMEM((tile_q, w), jnp.int32),
-    ]
+    scratch = [pltpu.VMEM((tile_q, w), jnp.int32)]
+    if not use_idx:
+        scratch.append(pltpu.VMEM((tile_q, w), jnp.int32))
     out_d, out_i = pl.pallas_call(
         kernel,
         grid=(qp // tile_q,),

@@ -61,10 +61,12 @@ def test_grid_knn_no_invalid_neighbors(rng):
     assert (i < 50).all()  # -1 or a valid index < 50
 
 
-def test_grid_topk_records_kernel_matches_xla_tail(rng):
+@pytest.mark.parametrize("idx_bound", [0, 10001])
+def test_grid_topk_records_kernel_matches_xla_tail(rng, idx_bound):
     """The fused Pallas grid tail (distances+mask+extraction off raw record
     rows, ops/pallas_topk.grid_topk_records) == the XLA tail it replaces,
-    in interpreter mode on synthetic bucket rows."""
+    in interpreter mode on synthetic bucket rows.  Covers both payload
+    schemes: col+ival pass (idx_bound=0) and one-pass index payload."""
     from curvecloudnet_tpu.ops import pallas_topk
 
     q_n, cap, ncells, k, radius = 96, 16, 27, 8, 0.3
@@ -94,7 +96,7 @@ def test_grid_topk_records_kernel_matches_xla_tail(rng):
         q_n, ncells)
     got_d, got_i = pallas_topk.grid_topk_records(
         table, nbr_buckets, jnp.asarray(query), jnp.asarray(q_valid), k,
-        cap, radius, interpret=True)
+        cap, radius, idx_bound=idx_bound, interpret=True)
 
     # XLA reference tail (mirrors ops/grid_knn.py's unfused branch)
     c4 = rows.reshape(q_n, ncells, 4, cap)
