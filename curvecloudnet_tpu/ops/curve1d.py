@@ -535,19 +535,28 @@ def gap_expand_indices(curve_id: jax.Array, valid: jax.Array, pad: int,
     b, n = curve_id.shape
     # +2: room for the final gap even when every curve slot is used
     n_exp = n + pad * (curve_budget + 2)
-    starts = segments.curve_starts(curve_id, valid) & valid
-    rank = jnp.cumsum(starts.astype(jnp.int32), axis=-1) - 1   # (B, N)
-    rank = jnp.clip(rank, 0, curve_budget)
-    exp_idx = (jnp.arange(n, dtype=jnp.int32)[None, :]
-               + pad * (rank + 1)).astype(jnp.int32)
-    exp_idx = jnp.where(valid, exp_idx, n_exp)  # scatter-drop for padding
 
-    n_curves = jnp.sum(starts, axis=-1).astype(jnp.int32)      # (B,)
-    used = (jnp.sum(valid, axis=-1).astype(jnp.int32)
-            + pad * (jnp.minimum(n_curves, curve_budget + 1) + 1))
-    mask_exp = (jnp.arange(n_exp, dtype=jnp.int32)[None, :]
-                < used[:, None])
-    overflow = jnp.maximum(n_curves - 1 - curve_budget, 0)
+    # memoized on (curve_id, valid) identity: the flagship's two conv1d
+    # steps run on the SAME full-resolution row (same arrays through
+    # Cloud.with_features), so the second step's index math is free
+    def build():
+        starts = segments.curve_starts(curve_id, valid) & valid
+        rank = jnp.cumsum(starts.astype(jnp.int32), axis=-1) - 1   # (B, N)
+        rank = jnp.clip(rank, 0, curve_budget)
+        exp_idx = (jnp.arange(n, dtype=jnp.int32)[None, :]
+                   + pad * (rank + 1)).astype(jnp.int32)
+        exp_idx = jnp.where(valid, exp_idx, n_exp)  # scatter-drop for pad
+
+        n_curves = jnp.sum(starts, axis=-1).astype(jnp.int32)      # (B,)
+        used = (jnp.sum(valid, axis=-1).astype(jnp.int32)
+                + pad * (jnp.minimum(n_curves, curve_budget + 1) + 1))
+        mask_exp = (jnp.arange(n_exp, dtype=jnp.int32)[None, :]
+                    < used[:, None])
+        overflow = jnp.maximum(n_curves - 1 - curve_budget, 0)
+        return exp_idx, mask_exp, overflow
+
+    exp_idx, mask_exp, overflow = segments._memo(
+        f"gap_expand.{pad}.{curve_budget}", build, curve_id, valid)
     return exp_idx, n_exp, mask_exp, overflow
 
 

@@ -169,10 +169,13 @@ def _pick_tile(q: int, cap: int, ncells: int) -> int:
 
 
 # idx-payload rounds are enabled while keeping >= this many high bits of
-# d2 in the packed value (sign+exp8+mantissa: 16 bits ~ 2^-8 relative d2
-# quantization, 2x the reference's own FRNN f32 ULP band at these scales;
-# tables over 2^16 rows keep the finer col payload + ival pass).
-_IDX_PACK_MAX_BITS = 16
+# d2 in the packed value (sign+exp8+mantissa: 17 payload bits leave
+# ~2^-7 relative d2 quantization — covers every grid-served row up to
+# 128k points incl. the KITTI 73728-row table, whose 2-pass extraction
+# was its largest kernel pool; the quantization only reorders candidates
+# within a 2^-7 d2 band at the k-th boundary, documented with the other
+# grid quantization in docs/DEVIATIONS.md #19).
+_IDX_PACK_MAX_BITS = 17
 
 
 @functools.partial(jax.jit,
