@@ -224,14 +224,12 @@ def grid_knn_single(query, points, q_valid, p_valid, k: int, radius: float,
                                 safe_bucket)
         safe_rank = jnp.where(okeep, grank % cap_row, safe_rank)
         dropped = dropped & ~okeep
-    from . import telemetry
-
-    if telemetry.active():
-        # entries dropped by the per-row cap (and past the
-        # overflow planes) = potential recall loss; surfaced like the
-        # budget overflow counters (round-2 verdict)
-        telemetry.record(f"grid_cap_drop.n{n}.r{radius:g}.s{stencil}",
-                         jnp.sum(dropped))
+    # entries dropped by the per-row cap (and past the overflow planes)
+    # = potential recall loss; returned so the UNBATCHED wrapper records
+    # it (recording here would capture a vmap BatchTracer — and recording
+    # inside an inner jit never reaches the model's capture at all, which
+    # kept this counter silently dead in-model until round 4)
+    n_dropped = jnp.sum(dropped)
     cols = (safe_rank[:, None]
             + cap_row * jnp.arange(4, dtype=jnp.int32)[None, :])
     table = table.at[safe_bucket[:, None], cols].set(rec)
@@ -290,7 +288,7 @@ def grid_knn_single(query, points, q_valid, p_valid, k: int, radius: float,
             top_d2, top_idx = pallas_topk.grid_topk_records(
                 table, nbr_buckets, query, q_valid, k_eff, cap_row, radius,
                 idx_bound=n)
-            return _finalize(top_d2, top_idx, k, k_eff)
+            return _finalize(top_d2, top_idx, k, k_eff) + (n_dropped,)
         qx, qy, qz = query[:, 0:1], query[:, 1:2], query[:, 2:3]
         r2 = radius * radius
         cr = cap_row
@@ -307,7 +305,7 @@ def grid_knn_single(query, points, q_valid, p_valid, k: int, radius: float,
         d2 = jnp.concatenate(d2s, axis=1)
         idx = jnp.concatenate(idxs, axis=1)
         top_d2, top_idx = pallas_topk.topk_smallest(d2, idx, k_eff)
-        return _finalize(top_d2, top_idx, k, k_eff)
+        return _finalize(top_d2, top_idx, k, k_eff) + (n_dropped,)
 
     cand = table[nbr_buckets]  # (Q, ncells, cap_row*4) contiguous gathers
     # distances computed in the table's channel-major layout — transposing
@@ -332,7 +330,7 @@ def grid_knn_single(query, points, q_valid, p_valid, k: int, radius: float,
         from . import pallas_topk
 
         top_d2, top_idx = pallas_topk.topk_smallest(d2, cand_idx, k_eff)
-        return _finalize(top_d2, top_idx, k, k_eff)
+        return _finalize(top_d2, top_idx, k, k_eff) + (n_dropped,)
     pw = 1
     while pw < c_:
         pw *= 2
@@ -351,7 +349,7 @@ def grid_knn_single(query, points, q_valid, p_valid, k: int, radius: float,
         packed = jnp.where(sel_m, sent, packed)
     top_d2 = jnp.stack(tops_d2, axis=-1)
     top_idx = jnp.stack(tops_i, axis=-1)
-    return _finalize(top_d2, top_idx, k, k_eff)
+    return _finalize(top_d2, top_idx, k, k_eff) + (n_dropped,)
 
 
 def _finalize(top_d2, top_idx, k: int, k_eff: int):
@@ -373,14 +371,24 @@ def _finalize(top_d2, top_idx, k: int, k_eff: int):
     return idx, dist
 
 
-@functools.partial(jax.jit, static_argnames=("k", "radius", "cap", "stencil",
-                                             "hash_bits", "overflow_planes",
-))
 def grid_knn(query, points, q_valid, p_valid, k: int, radius: float,
              cap: int = 16, stencil: int = 27, hash_bits: int | None = None,
              overflow_planes: int = 0):
-    """Batched grid-hash fixed-radius kNN (ops.neighbors.knn signature)."""
+    """Batched grid-hash fixed-radius kNN (ops.neighbors.knn signature).
+
+    Deliberately NOT wrapped in its own ``jax.jit``: the per-row cap-drop
+    telemetry inside grid_knn_single must record into the CALLER's trace
+    (an inner-jit boundary swallowed it — the whole in-model drop counter
+    was silently dead, a round-4 find).  Model calls inline into the
+    outer jit; eager callers (tools/tests) wrap it themselves."""
+    from . import telemetry
+
     fn = functools.partial(grid_knn_single, k=k, radius=radius, cap=cap,
                            stencil=stencil, hash_bits=hash_bits,
                            overflow_planes=overflow_planes)
-    return jax.vmap(fn)(query, points, q_valid, p_valid)
+    idx, dist, n_dropped = jax.vmap(fn)(query, points, q_valid, p_valid)
+    if telemetry.active():
+        telemetry.record(
+            f"grid_cap_drop.n{points.shape[1]}.r{radius:g}.s{stencil}",
+            jnp.sum(n_dropped))
+    return idx, dist

@@ -270,10 +270,28 @@ def evaluate_segmentation(model, variables, dataset, task_info: TaskInfo,
         if test_mode and outdir is not None:
             dump_submission(mean_logits, cloud_valid, metas, outdir)
 
-    # the whole scan (12 view dispatches + 1 postprocess) stays in flight
-    # while the next scan is dispatched; exactly ONE device block per scan
-    # (each block_until_ready is a full tunnel round trip)
-    pending, t_prev, t_done = None, None, None
+    # scans stay in flight (12 view dispatches + 1 postprocess each) while
+    # the next scans are dispatched; exactly ONE device block per scan
+    # (each block_until_ready is a full tunnel round trip).  DEPTH 2, like
+    # bench.py: with one scan in flight the loop still exposed ~6 ms/scan
+    # of host H2D + dispatch (production ratio 0.83 vs the device bench);
+    # two in flight overlap that with device compute.
+    from collections import deque
+
+    pending: deque = deque()
+    t_prev, t_done = None, None
+
+    def _drain_one():
+        nonlocal t_prev, t_done
+        old = pending.popleft()
+        old[1].block_until_ready()
+        now = time.time()
+        # steady state: completion-to-completion interval per scan
+        span = now - (t_done if t_done is not None else old[-1])
+        t_done = now
+        times.extend([span / n_views] * n_views)
+        consume(old[:-1])
+
     for bi, np_batch in enumerate(loader.epoch(0)):
         if max_batches is not None and bi >= max_batches:
             break
@@ -296,23 +314,13 @@ def evaluate_segmentation(model, variables, dataset, task_info: TaskInfo,
             mean_logits, hist_delta = post(tuple(all_logits), batch.labels,
                                            out_valid)
         hist = hist + hist_delta
-        if pending is not None:
-            pending[1].block_until_ready()
-            now = time.time()
-            # steady state: completion-to-completion interval per scan
-            span = now - (t_done if t_done is not None else t_prev)
-            t_done = now
-            times.extend([span / n_views] * n_views)
-            consume(pending)
-        pending = (mean_logits, hist_delta, stats, batch.cloud.valid,
-                   metas, nv)
+        if len(pending) >= 2:
+            _drain_one()
+        pending.append((mean_logits, hist_delta, stats, batch.cloud.valid,
+                        metas, nv, t0))
         t_prev = t0
-    if pending is not None:
-        pending[1].block_until_ready()
-        now = time.time()
-        span = now - (t_done if t_done is not None else t_prev)
-        times.extend([span / n_views] * n_views)
-        consume(pending)
+    while pending:
+        _drain_one()
 
     hist = np.asarray(hist)
     if task_info.metric_ignore is not None:

@@ -145,14 +145,14 @@ def main():
             q, p, qv, pv, 16, 0.08, cap=192))(pos, pos, valid, valid)
         jax.block_until_ready(gd)
         os.environ["CCN_GRID_FUSED"] = "0"
-        grid_knn.clear_cache()  # env branch is read at trace time
+        jax.clear_caches()  # env branch is read at trace time
         try:
             gi0, gd0 = jax.jit(lambda q, p, qv, pv: grid_knn(
                 q, p, qv, pv, 16, 0.08, cap=192))(pos, pos, valid, valid)
             jax.block_until_ready(gd0)
         finally:
             os.environ.pop("CCN_GRID_FUSED", None)
-            grid_knn.clear_cache()
+            jax.clear_caches()
         a, b = np.asarray(gd)[0], np.asarray(gd0)[0]
         fin = b < 1e20
         assert ((np.asarray(gi)[0] >= 0) == (np.asarray(gi0)[0] >= 0)).mean() > 0.999
