@@ -271,11 +271,13 @@ def evaluate_segmentation(model, variables, dataset, task_info: TaskInfo,
             dump_submission(mean_logits, cloud_valid, metas, outdir)
 
     # scans stay in flight (12 view dispatches + 1 postprocess each) while
-    # the next scans are dispatched; exactly ONE device block per scan
-    # (each block_until_ready is a full tunnel round trip).  DEPTH 2, like
-    # bench.py: with one scan in flight the loop still exposed ~6 ms/scan
-    # of host H2D + dispatch (production ratio 0.83 vs the device bench);
-    # two in flight overlap that with device compute.
+    # the next scan is dispatched; exactly ONE device block per scan (each
+    # block_until_ready is a full tunnel round trip).  Depth is ONE scan:
+    # depth-2 (bench.py-style) was A/B'd here and measured WORSE (547-550k
+    # vs 579.7k production, two runs each) — two resident TTA scans at the
+    # 36864 pad pressure HBM scratch and serialize the scheduler, unlike
+    # bench.py's single redispatched cloud.
+    _PIPELINE_DEPTH = 1
     from collections import deque
 
     pending: deque = deque()
@@ -314,7 +316,7 @@ def evaluate_segmentation(model, variables, dataset, task_info: TaskInfo,
             mean_logits, hist_delta = post(tuple(all_logits), batch.labels,
                                            out_valid)
         hist = hist + hist_delta
-        if len(pending) >= 2:
+        if len(pending) >= _PIPELINE_DEPTH:
             _drain_one()
         pending.append((mean_logits, hist_delta, stats, batch.cloud.valid,
                         metas, nv, t0))
