@@ -70,17 +70,19 @@ def knn_interpolate(x: jax.Array, pos_src: jax.Array, src_valid: jax.Array,
 # module is first imported inside a trace — CLAUDE.md Mosaic/trace notes)
 _INF = 1e30
 
-# Static dropped-query budget for the split fp sweep, as a fraction of the
-# full row: dropped_valid = n_valid - m_valid, and the kept rows run at
-# 0.78-0.97 occupancy on calibrated configs, so 1 - (3/4) * (m/n) holds
-# ~10% margin at the flagship operating points (audit-measured dropped
-# ~13.1k of 23040 vs budget 14400).  Overflow EXCESS queries keep zero
-# neighbors (surfaced by fp_split_overflow telemetry + tools/calibrate.py
-# — the same static-budget-plus-telemetry contract as the grid caps and
-# curve window; a runtime lax.cond fallback measured 4.8 ms/step of pure
+# Static dropped-query budget for the split fp sweep: budget =
+# n - SPLIT_KEEP_FRAC * m.  dropped_valid = n_valid - m_valid, and the
+# kept rows run at 0.78-0.97 occupancy on calibrated configs; 0.70 holds
+# margin at BOTH audited scales (nuScenes fp#4: dropped ~13.1k of 23040
+# vs budget 14976; KITTI n=73728: 0.75 overflowed by 141 queries on
+# realistic synthetic — caught by the telemetry gate — 0.70 gives +1.7k
+# slack).  Overflow EXCESS queries keep zero neighbors (surfaced by
+# fp_split_overflow telemetry + tools/calibrate.py — the same
+# static-budget-plus-telemetry contract as the grid caps and curve
+# window; a runtime lax.cond fallback measured 4.8 ms/step of pure
 # conditional overhead, the round-3 lesson re-learned at the XLA level).
 SPLIT_KEEP_FRAC = float(__import__("os").environ.get("CCN_FP_SPLIT_FRAC",
-                                                     0.75))
+                                                     0.70))
 
 
 def _cand_rank(cand_idx, cand_valid, n):
