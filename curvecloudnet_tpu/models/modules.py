@@ -606,7 +606,16 @@ class GlobalSAStep(nn.Module):
 
 
 class FPStep(nn.Module):
-    """Feature propagation upsample (reference pointnet2.py:119-143)."""
+    """Feature propagation upsample (reference pointnet2.py:119-143).
+
+    The subset path sizes its dropped-query budget statically from the
+    candidate-row pad length (``ops/interpolate.SPLIT_KEEP_FRAC``): on a
+    NEW dataset/config, run ``tools/calibrate.py`` first — if real
+    occupancy drops more queries than the budget, the overflowed queries
+    silently receive zero fp features (surfaced only by the
+    ``fp_split_overflow`` telemetry; see the DEVIATIONS static-budget
+    runbook).
+    """
 
     spec: ModelSpec
     step: StepSpec
@@ -616,11 +625,14 @@ class FPStep(nn.Module):
     def __call__(self, cloud: Cloud, skip: Cloud, *, train=False,
                  bn_momentum=0.1, key=None) -> Cloud:
         k = self.step.knn if self.step.knn else 3
-        if (cloud.parent_idx is not None
-                and cloud.parent_idx.shape[1] == cloud.n):
+        if cloud.parent_idx is not None:
             # the 3-NN candidates are a subset of the skip row
             # (parent_idx): the kept/dropped split sweeps only the
-            # dropped queries (ops/interpolate.py)
+            # dropped queries (ops/interpolate.py).  Precondition —
+            # ``skip`` IS the row parent_idx indexes: guaranteed by the
+            # interpreter's down_skips LIFO (base.py pairs each fp step
+            # with the level whose downsample produced parent_idx); not
+            # shape-checkable, so asserted structurally there, not here.
             x = interpolate.knn_interpolate_subset(
                 cloud.x, cloud.parent_idx, cloud.valid, skip.pos,
                 skip.valid, k=k, cand_pos=cloud.pos)
@@ -956,6 +968,34 @@ class SymmetricCurveConvStep(nn.Module):
              MaskedBatchNorm(name=f"norm_{i-1}"))
             for i in range(1, len(self.dims))
         ]
+
+        # Eval megakernel: the whole chain over the gap-expanded row in
+        # ONE Pallas pass (ops/pallas_conv1d.py) — replaces both the
+        # expanded-row XLA convs and the halo-correction machinery.
+        interp = os.environ.get("CCN_CONV_KERNEL", "1") == "interp"
+        use_kernel = (not train and not self.is_initializing()
+                      and os.environ.get("CCN_CONV_KERNEL", "1")
+                      not in ("0",)
+                      and (jax.default_backend() != "cpu" or interp))
+        if use_kernel:
+            try:
+                p = self.variables["params"]
+                bs = self.variables["batch_stats"]
+            except (KeyError, AttributeError):
+                p = bs = None
+            if p is not None and "conv_0" in p:
+                from ..ops import pallas_conv1d
+
+                weights = pallas_conv1d.fold_conv_bn_eval(p, bs, nconvs)
+                xe = curve1d.gap_scatter(x, exp_idx, n_exp)
+                used = jnp.sum(mask_exp, axis=-1).astype(jnp.int32)
+                out = jnp.stack([
+                    pallas_conv1d.conv1d_chain_eval(
+                        xe[bi], weights, used[bi], half_k=half_k,
+                        interpret=interp)
+                    for bi in range(xe.shape[0])])
+                xf = curve1d.gap_gather(out, exp_idx, valid)
+                return cloud.with_features(xf)
 
         use_halo = (not train and not self.is_initializing()
                     and os.environ.get("CCN_CONV_HALO", "1") != "0")

@@ -56,6 +56,24 @@ _INF = 1e30
 _GOOD_MAX = 9e29  # anything >= this is a fill, not a real distance
 
 
+def _unroll_k(k, body, init):
+    """Python-unroll the k extraction/merge rounds (default ON).
+
+    A/B on v5e (tools/unroll_ab.py): 0.98 -> 0.57 ms at the 15872x18432
+    k=32 r=0.08 brute search — the fori_loop's per-iteration overhead
+    dominates the narrow (TQ, 2k) merge rounds.  The grid-tail kernel
+    measures the opposite (wide packed rows; ops/pallas_topk._unrolled,
+    default OFF there).  CCN_KNN_UNROLL=0 restores the loops."""
+    import os
+
+    if os.environ.get("CCN_KNN_UNROLL", "1") != "0":
+        st = init
+        for j in range(k):
+            st = body(j, st)
+        return st
+    return jax.lax.fori_loop(0, k, body, init)
+
+
 def _knn_kernel(q_ref, p_ref, qv_ref, pv_ref, dist_ref, idx_ref, *,
                 k: int, tile_q: int, tile_n: int, n_total: int,
                 q_total: int, r2init: float):
@@ -103,8 +121,8 @@ def _knn_kernel(q_ref, p_ref, qv_ref, pv_ref, dist_ref, idx_ref, *,
             return cand, m
 
         cand = jnp.full((tile_q, k), sent_blk, jnp.int32)
-        cand, _ = jax.lax.fori_loop(
-            0, k, round_body,
+        cand, _ = _unroll_k(
+            k, round_body,
             (cand, jnp.full((tile_q, 1), jnp.int32(-2**31))))
         cand_d = jax.lax.bitcast_convert_type(
             jnp.bitwise_and(cand, jnp.int32(~low_mask)), jnp.float32)
@@ -135,8 +153,8 @@ def _knn_kernel(q_ref, p_ref, qv_ref, pv_ref, dist_ref, idx_ref, *,
 
         new_d = jnp.full((tile_q, k), _INF, jnp.float32)
         new_i = jnp.full((tile_q, k), -1, jnp.int32)
-        new_d, new_i, _ = jax.lax.fori_loop(
-            0, k, merge_body,
+        new_d, new_i, _ = _unroll_k(
+            k, merge_body,
             (new_d, new_i, jnp.full((tile_q, 1), jnp.int32(-2**31))))
         return new_d, new_i
 

@@ -15,6 +15,7 @@ the returned values are quantized (~2^-10 relative at W=5184).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -22,6 +23,18 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _INF = 1e30
+
+
+def _unrolled():
+    """Python-unroll the k extraction rounds (default OFF here).
+
+    A/B on v5e (tools/unroll_ab.py): at the grid shapes the fori_loop is
+    3.7x FASTER than unrolled straight-line rounds (0.34 vs 1.27 ms at the
+    23040/cap=192/k=20 table) — the wide (TQ, 1920) packed matrix stays
+    register/VMEM-scheduled better inside the hardware loop.  The brute
+    kNN kernel's narrower merge rounds measure the OPPOSITE (see
+    ops/pallas_knn._unroll_k, default ON there: 0.98 -> 0.57 ms)."""
+    return os.environ.get("CCN_TOPK_UNROLL", "0") != "0"
 
 
 def _topk_kernel(d_ref, i_ref, out_d, out_i, *, k: int, w: int,
@@ -59,9 +72,14 @@ def _topk_kernel(d_ref, i_ref, out_d, out_i, *, k: int, w: int,
 
     best_d = jnp.full((tile_q, k), _INF, jnp.float32)
     best_i = jnp.full((tile_q, k), -1, jnp.int32)
-    best_d, best_i, _ = jax.lax.fori_loop(
-        0, k, body,
-        (best_d, best_i, jnp.full((tile_q, 1), jnp.int32(-2**31))))
+    init = (best_d, best_i, jnp.full((tile_q, 1), jnp.int32(-2**31)))
+    if _unrolled():
+        st = init
+        for j in range(k):
+            st = body(j, st)
+        best_d, best_i, _ = st
+    else:
+        best_d, best_i, _ = jax.lax.fori_loop(0, k, body, init)
     good = best_d < _INF * 0.98
     out_d[:] = jnp.where(good, best_d, _INF)
     out_i[:] = jnp.where(good, best_i, -1)
@@ -150,9 +168,14 @@ def _grid_topk_kernel(*refs, k: int, cap: int, ncells: int, tile_q: int,
 
     best_d = jnp.full((tile_q, k), _INF, jnp.float32)
     best_i = jnp.full((tile_q, k), -1, jnp.int32)
-    best_d, best_i, _ = jax.lax.fori_loop(
-        0, k, body,
-        (best_d, best_i, jnp.full((tile_q, 1), jnp.int32(-2**31))))
+    init = (best_d, best_i, jnp.full((tile_q, 1), jnp.int32(-2**31)))
+    if _unrolled():
+        st = init
+        for j in range(k):
+            st = body(j, st)
+        best_d, best_i, _ = st
+    else:
+        best_d, best_i, _ = jax.lax.fori_loop(0, k, body, init)
     good = best_d < _INF * 0.98
     out_d[:] = jnp.where(good, best_d, _INF)
     out_i[:] = jnp.where(good, best_i, -1)

@@ -270,29 +270,25 @@ def evaluate_segmentation(model, variables, dataset, task_info: TaskInfo,
         if test_mode and outdir is not None:
             dump_submission(mean_logits, cloud_valid, metas, outdir)
 
-    # scans stay in flight (12 view dispatches + 1 postprocess each) while
-    # the next scan is dispatched; exactly ONE device block per scan (each
-    # block_until_ready is a full tunnel round trip).  Depth is ONE scan:
-    # depth-2 (bench.py-style) was A/B'd here and measured WORSE (547-550k
-    # vs 579.7k production, two runs each) — two resident TTA scans at the
-    # 36864 pad pressure HBM scratch and serialize the scheduler, unlike
-    # bench.py's single redispatched cloud.
-    _PIPELINE_DEPTH = 1
-    from collections import deque
+    # ONE scan stays in flight (12 view dispatches + 1 postprocess) while
+    # the next scan is prepped and dispatched; exactly ONE device block per
+    # scan (each block_until_ready is a full tunnel round trip).  Deeper
+    # pipelining was A/B'd and measured WORSE (depth-2: 547-550k vs
+    # 579.7k/571.0k production) — two resident TTA scans at the 36864 pad
+    # pressure HBM scratch and serialize the scheduler; history in
+    # docs/ROADMAP.md.
+    prev = None
+    t_done = None
 
-    pending: deque = deque()
-    t_prev, t_done = None, None
-
-    def _drain_one():
-        nonlocal t_prev, t_done
-        old = pending.popleft()
-        old[1].block_until_ready()
+    def _drain(entry):
+        nonlocal t_done
+        entry[1].block_until_ready()
         now = time.time()
         # steady state: completion-to-completion interval per scan
-        span = now - (t_done if t_done is not None else old[-1])
+        span = now - (t_done if t_done is not None else entry[-1])
         t_done = now
         times.extend([span / n_views] * n_views)
-        consume(old[:-1])
+        consume(entry[:-1])
 
     for bi, np_batch in enumerate(loader.epoch(0)):
         if max_batches is not None and bi >= max_batches:
@@ -316,13 +312,12 @@ def evaluate_segmentation(model, variables, dataset, task_info: TaskInfo,
             mean_logits, hist_delta = post(tuple(all_logits), batch.labels,
                                            out_valid)
         hist = hist + hist_delta
-        if len(pending) >= _PIPELINE_DEPTH:
-            _drain_one()
-        pending.append((mean_logits, hist_delta, stats, batch.cloud.valid,
-                        metas, nv, t0))
-        t_prev = t0
-    while pending:
-        _drain_one()
+        if prev is not None:
+            _drain(prev)
+        prev = (mean_logits, hist_delta, stats, batch.cloud.valid,
+                metas, nv, t0)
+    if prev is not None:
+        _drain(prev)
 
     hist = np.asarray(hist)
     if task_info.metric_ignore is not None:

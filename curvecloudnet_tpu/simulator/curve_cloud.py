@@ -26,7 +26,11 @@ import numpy as np
 from ..ops import curve1d, segments
 
 CURVE_SPLIT_THRESH = 0.01
-ANTI_ALIAS_KERNEL = (0.25, 0.5, 0.25)
+# Reference kernel (curve_cloud.py:10): 7 taps, cross-correlated, i.e. tap j
+# applies at relative offset j-3 (offsets -3..+3).  Deliberately asymmetric
+# in the reference; normalization divides by the mask filtered with the SAME
+# kernel, so no explicit weight normalization is needed.
+ANTI_ALIAS_KERNEL = (1.0, 2.0, 3.0, 3.0, 3.0, 2.0, 2.0)
 
 
 def split_curves_3d(pos: np.ndarray, curve_id: np.ndarray,
@@ -41,20 +45,28 @@ def split_curves_3d(pos: np.ndarray, curve_id: np.ndarray,
 
 def anti_alias(x: jax.Array, curve_id: jax.Array,
                valid: jax.Array) -> jax.Array:
-    """[0.25, 0.5, 0.25] smoothing along curves, renormalized at endpoints.
+    """[1,2,3,3,3,2,2] smoothing along curves, renormalized at endpoints.
 
-    x: (B, N, C) padded rows.  Taps that cross a curve boundary contribute
-    zero and the kernel mass is renormalized (the reference divides by the
-    mask convolution, curve_cloud.py:182-186).
+    x: (B, N, C) padded rows.  Exact parallel of the reference's
+    ``F.conv1d(curves, filter, padding='same') / F.conv1d(mask, filter)``
+    over curve-padded rows (curve_cloud.py:174-191): tap j of the 7-tap
+    kernel applies at relative offset j-3 (cross-correlation); taps that
+    cross a curve boundary contribute zero to value AND normalizer, which
+    reproduces the reference's per-curve padded layout.
     """
-    k_prev, k0, k_next = ANTI_ALIAS_KERNEL
-    m_prev = curve1d.same_curve_shift_mask(curve_id, valid, -1)[..., None]
-    m_next = curve1d.same_curve_shift_mask(curve_id, valid, 1)[..., None]
-    num = (k0 * x
-           + k_prev * curve1d.shift_fill(x, -1) * m_prev
-           + k_next * curve1d.shift_fill(x, 1) * m_next)
-    den = k0 + k_prev * m_prev + k_next * m_next
-    return jnp.where(valid[..., None], num / den, 0.0)
+    half = len(ANTI_ALIAS_KERNEL) // 2
+    num = jnp.zeros_like(x)
+    den = jnp.zeros(x.shape[:2] + (1,), x.dtype)
+    for j, w in enumerate(ANTI_ALIAS_KERNEL):
+        d = j - half
+        if d == 0:
+            num = num + w * x
+            den = den + w * valid[..., None]
+            continue
+        m = curve1d.same_curve_shift_mask(curve_id, valid, d)[..., None]
+        num = num + w * curve1d.shift_fill(x, d) * m
+        den = den + w * m
+    return jnp.where(valid[..., None], num / jnp.maximum(den, 1e-12), 0.0)
 
 
 def estimate_curvature_and_grads(pos: jax.Array, feat: Optional[jax.Array],

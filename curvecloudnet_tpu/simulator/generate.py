@@ -191,7 +191,8 @@ def generate_dataset(outdir: str, n_samples: int = 64, n_points: int = 2048,
                      shapenet_version: int = 1,
                      split: str = "train", split_csv: str = "",
                      labels_dir: str = "", synsets=None,
-                     random_so3: bool = False) -> str:
+                     random_so3: bool = False,
+                     viz_every: int = 0, viz_dir: Optional[str] = None) -> str:
     """Write a padded .npz dataset of simulated scans (one file per split
     shard).
 
@@ -273,6 +274,19 @@ def generate_dataset(outdir: str, n_samples: int = 64, n_points: int = 2048,
         lab_all[i, :m] = got["labels"][:m]
         valid_all[i, :m] = True
         cat_all[i] = cat
+        if viz_every and i % viz_every == 0:
+            # generation-time QA renders (reference
+            # scanning_simulator/utils/visualization.py:10-153)
+            from .qa_viz import write_qa_panels
+
+            lp = ly = None
+            if label_cloud is not None:
+                lp, ly = label_cloud
+                lp = lp - lp.mean(0, keepdims=True)
+                lp = lp / max(np.linalg.norm(lp, axis=1).max(), 1e-8)
+            write_qa_panels(viz_dir or os.path.join(outdir, "qa"), i,
+                            got["pos_obj"], got["curve_id"], got["labels"],
+                            lp, ly)
         i += 1
     path = os.path.join(
         outdir, f"sim_{n_points}_{resolution}_{density}_{pattern}.npz")

@@ -31,6 +31,29 @@ pytestmark = pytest.mark.skipif(
     not os.path.isdir(os.path.join(REF, "src")),
     reason="reference checkout not present")
 
+# Content pins for the reference files this suite EXECUTES (untrusted public
+# content, imported with module-level side effects): a modified checkout
+# skips instead of silently running new code in CI (round-4 advice).
+_REF_PINS = {
+    "src/models/modules/fast_conv1d.py":
+        "f9422492643c588023fb941f85a59deeabc305f4ea9efd6626de620c4b4506fc",
+    "src/models/modules/fps_ops.py":
+        "cf0a7736fe34b473d7c4b3ab309407937f90fa7cb80c528bcaf35e7d5a5a0716",
+    "src/models/utils/lovasz_losses.py":
+        "36248c09239d07574d7e33c31fd001bff66044a3387ecec5d6d2bd6626749556",
+}
+
+
+def _check_ref_pins(pins=_REF_PINS):
+    import hashlib
+
+    for rel, want in pins.items():
+        path = os.path.join(REF, rel)
+        got = hashlib.sha256(open(path, "rb").read()).hexdigest()
+        if got != want:
+            pytest.skip(f"reference file {rel} changed (sha256 {got[:12]}…); "
+                        "refusing to execute unpinned reference code")
+
 
 def _pure_torch_stubs():
     """Install import stubs for the reference's CUDA-only deps.
@@ -101,6 +124,7 @@ def _pure_torch_stubs():
 @pytest.fixture(scope="module")
 def refmods():
     """Import the reference modules with stubs installed."""
+    _check_ref_pins()
     saved = {k: sys.modules.get(k) for k in list(_pure_torch_stubs())}
     sys.modules.update(_pure_torch_stubs())
     sys.path.insert(0, REF)

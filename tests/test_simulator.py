@@ -90,10 +90,19 @@ def test_anti_alias_smooths_but_keeps_boundaries():
     # smoothing reduces total variation of the square wave
     tv = lambda x: np.abs(np.diff(x[:, 1])).sum()  # noqa: E731
     assert tv(out) < tv(sig)
-    # curve endpoints renormalize instead of bleeding: first point of curve 2
-    # is a weighted mean of itself+next only
-    expect = (0.5 * sig[n // 2] + 0.25 * sig[n // 2 + 1]) / 0.75
-    np.testing.assert_allclose(out[n // 2], expect, rtol=1e-5)
+    # oracle: the reference's F.conv1d(curve, kernel, 'same')/F.conv1d(mask)
+    # over each curve independently (curve-padded layout, curve_cloud.py:174)
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+    filt = torch.tensor(list(cc.ANTI_ALIAS_KERNEL),
+                        dtype=torch.float64).view(1, 1, -1)
+    expect = np.zeros_like(sig)
+    for c in np.unique(cid):
+        seg = torch.tensor(sig[cid == c], dtype=torch.float64).T[:, None, :]
+        num = F.conv1d(seg, filt, padding="same")
+        den = F.conv1d(torch.ones_like(seg[:1]), filt, padding="same")
+        expect[cid == c] = (num / den)[:, 0, :].T.numpy()
+    np.testing.assert_allclose(out, expect, rtol=1e-5, atol=1e-6)
 
 
 def test_curvature_of_circle():
@@ -156,3 +165,29 @@ def test_generate_dataset_roundtrip(tmp_path):
         cid = blob["curve_id"][i][v]
         assert np.all(np.diff(cid) >= 0)
         assert blob["labels"][i][v].max() <= 3
+
+
+def test_generate_qa_viz(tmp_path):
+    """Generation-time QA renders (reference
+    scanning_simulator/utils/visualization.py:10-153)."""
+    gen.generate_dataset(str(tmp_path), n_samples=2, n_points=256,
+                         resolution=96, density=0.5, seed=0, viz_every=1)
+    qa = tmp_path / "qa"
+    curves = sorted(qa.glob("curves_*.png"))
+    segs = sorted(qa.glob("seg_*.png"))
+    assert len(curves) == 2 and len(segs) == 2
+    import matplotlib.image as mpimg
+
+    img = mpimg.imread(curves[0])
+    assert img.ndim == 3 and img.shape[0] > 32
+    assert img.std() > 0.01  # non-blank render
+
+
+def test_curve_hash_colors_stable():
+    from curvecloudnet_tpu.simulator.qa_viz import curve_hash_colors
+
+    cid = np.array([0, 0, 1, 2, 1])
+    c1, c2 = curve_hash_colors(cid), curve_hash_colors(cid)
+    np.testing.assert_array_equal(c1, c2)  # deterministic across calls
+    assert (c1[0] == c1[1]).all() and not (c1[0] == c1[2]).all()
+    assert c1.min() >= 0 and c1.max() <= 1

@@ -394,3 +394,10 @@ def test_curve_conv_v2_halo_equals_expansion(rng, monkeypatch, depth):
     monkeypatch.setenv("CCN_CONV_HALO", "1")
     got = np.asarray(mod.apply(vd, cloud, train=False).x)
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    # the Pallas chain megakernel (ops/pallas_conv1d.py, interpret mode on
+    # CPU) must also reproduce the expansion path
+    monkeypatch.setenv("CCN_CONV_KERNEL", "interp")
+    got_k = np.asarray(mod.apply(vd, cloud, train=False).x)
+    monkeypatch.delenv("CCN_CONV_KERNEL")
+    np.testing.assert_allclose(got_k, want, rtol=1e-4, atol=1e-4)

@@ -37,6 +37,10 @@ def main():
     ap.add_argument("--split-csv", default="")
     ap.add_argument("--labels-dir", default="")
     ap.add_argument("--synsets", nargs="*", default=None)
+    ap.add_argument("--viz", type=int, default=0, metavar="EVERY",
+                    help="write QA renders (curve colors + label panel) for "
+                         "every EVERY-th sample under OUT/qa")
+    ap.add_argument("--viz-dir", default=None)
     args = ap.parse_args()
 
     from curvecloudnet_tpu.simulator.generate import generate_dataset
@@ -48,7 +52,7 @@ def main():
         shapenet_dir=args.shapenet_dir,
         shapenet_version=args.shapenet_version, split=args.split,
         split_csv=args.split_csv, labels_dir=args.labels_dir,
-        synsets=args.synsets)
+        synsets=args.synsets, viz_every=args.viz, viz_dir=args.viz_dir)
     print(f"wrote {path}")
 
 

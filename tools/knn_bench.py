@@ -91,13 +91,17 @@ BIG = [                          # KITTI-scale rows (CCN_KNN_BIG=1)
 if __name__ == "__main__":
     import os
     print(f"device: {jax.devices()[0]}")
+    if os.environ.get("CCN_KNN_SWEEP") or os.environ.get("CCN_KNN_VARIANT"):
+        # the aabb/mxu/gated experiment kernels were deleted in round 4
+        # (numbers preserved in docs/ROADMAP.md); a sweep would silently
+        # re-bench the same v2 kernel under different labels
+        raise SystemExit("CCN_KNN_SWEEP/CCN_KNN_VARIANT are gone: only the "
+                         "v2 kernel remains (see docs/ROADMAP.md for the "
+                         "closed experiments)")
     cases = CASES + (BIG if os.environ.get("CCN_KNN_BIG") == "1" else [])
-    for variant in os.environ.get("CCN_KNN_SWEEP", "v2,window").split(","):
-        os.environ["CCN_KNN_VARIANT"] = variant
-        print(f"--- variant={variant} ---")
-        for case in cases:
-            try:
-                run(*case)
-            except Exception as e:
-                print(f"case {case}: FAIL {str(e).splitlines()[0][:100]}",
-                      flush=True)
+    for case in cases:
+        try:
+            run(*case)
+        except Exception as e:
+            print(f"case {case}: FAIL {str(e).splitlines()[0][:100]}",
+                  flush=True)
