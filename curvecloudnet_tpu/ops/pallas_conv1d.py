@@ -10,6 +10,13 @@ per step (~2.8 ms/step at the flagship 49164-slot rows) with one kernel:
 window taps become static sublane-offset slices of the tile slab, each tap
 an MXU dot accumulated into the layer output.
 
+Halo mechanics: Mosaic cannot DMA-slice an HBM ref whose lane dim is not
+128-aligned (arbitrary C0), so instead of manual DMA the SAME padded input
+is passed THREE times with shifted block index maps (prev/cur/next tile);
+their sublane concat gives the (3*TN, C0) window the chain shrinks into.
+Costs one extra 2x read of the input — trivially small next to the XLA
+path it replaces — and keeps Pallas' automatic double-buffered pipelining.
+
 Exactness: identical math to the "exact path" in
 ``SymmetricCurveConvStep.__call__`` (gap_scatter -> window_concat_nomask ->
 Dense -> eval-BN -> leaky_relu -> mask per layer -> gap_gather), which is
@@ -33,13 +40,10 @@ def _round_up(x, m):
     return -(-x // m) * m
 
 
-def _chain_kernel(used_ref, x_hbm, *refs, taps, tile_n: int, pad: int,
-                  h: int, out_dtype):
-    """taps: tuple of per-layer tap counts' weight layouts — list of
-    (n_taps, has_bias) is implicit; refs order = [W_l0_tap0.. b_l0,
-    W_l1_tap0.., b_l1, ..., out_ref, slab, sem]."""
-    n_layers = len(taps)
-    # unpack refs: per layer (h+1) tap weights + 1 bias
+def _chain_kernel(used_ref, prev_ref, cur_ref, next_ref, *refs,
+                  n_layers: int, tile_n: int, pad: int, h: int, out_dtype):
+    """refs order: [W_l0_tap0..taph, b_l0, W_l1_tap0.., b_l1, ...,
+    out_ref]."""
     ws, bs = [], []
     p = 0
     for _ in range(n_layers):
@@ -47,23 +51,16 @@ def _chain_kernel(used_ref, x_hbm, *refs, taps, tile_n: int, pad: int,
         bs.append(refs[p + h + 1])
         p += h + 2
     out_ref = refs[p]
-    slab = refs[p + 1]
-    sem = refs[p + 2]
 
     i = pl.program_id(0)
     used = used_ref[0]
-    pltpu.make_async_copy(
-        x_hbm.at[pl.ds(i * tile_n, tile_n + 2 * pad)], slab, sem).start()
-    pltpu.make_async_copy(
-        x_hbm.at[pl.ds(i * tile_n, tile_n + 2 * pad)], slab, sem).wait()
-
-    a = slab[:]                                   # (TN + 2P, C0)
+    full = jnp.concatenate([prev_ref[:], cur_ref[:], next_ref[:]], axis=0)
+    a = full[tile_n - pad:2 * tile_n + pad]       # (TN + 2P, C0)
     off = i * tile_n - pad                        # global pos of slab row 0
     for li in range(n_layers):
         length = tile_n + 2 * (pad - (li + 1) * h)
-        w0 = ws[li][0][:]
         acc = jax.lax.dot_general(
-            a[h:h + length], w0, (((1,), (0,)), ((), ())),
+            a[h:h + length], ws[li][0][:], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         for d in range(1, h + 1):
             pair = a[h - d:h - d + length] + a[h + d:h + d + length]
@@ -95,13 +92,23 @@ def conv1d_chain_eval(xe: jax.Array, weights, used, half_k: int,
     h = half_k
     n_layers = len(weights)
     pad = h * n_layers
+    assert pad <= tile_n
     n_exp, c0 = xe.shape
     n_tiles = -(-n_exp // tile_n)
-    xp = jnp.pad(xe, ((pad, n_tiles * tile_n - n_exp + pad), (0, 0)))
+    # one guard tile of zeros on each side: block i-1 / i / i+1 become
+    # blocks i / i+1 / i+2 of the padded array (always in range)
+    xp = jnp.pad(xe, ((tile_n, (n_tiles + 1) * tile_n - n_exp), (0, 0)))
 
     flat_ops = []
-    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec(memory_space=pl.ANY)]
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec((tile_n, c0), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile_n, c0), lambda i: (i + 1, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile_n, c0), lambda i: (i + 2, 0),
+                     memory_space=pltpu.VMEM),
+    ]
     for w, b in weights:
         c_in = w.shape[0] // (h + 1)
         for t in range(h + 1):
@@ -116,7 +123,7 @@ def conv1d_chain_eval(xe: jax.Array, weights, used, half_k: int,
     c_last = weights[-1][0].shape[1]
 
     kernel = functools.partial(
-        _chain_kernel, taps=tuple(h + 1 for _ in weights), tile_n=tile_n,
+        _chain_kernel, n_layers=n_layers, tile_n=tile_n,
         pad=pad, h=h, out_dtype=xe.dtype)
     out = pl.pallas_call(
         kernel,
@@ -125,14 +132,10 @@ def conv1d_chain_eval(xe: jax.Array, weights, used, half_k: int,
         out_specs=pl.BlockSpec((tile_n, c_last), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_tiles * tile_n, c_last), xe.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((tile_n + 2 * pad, c0), xe.dtype),
-            pltpu.SemaphoreType.DMA,
-        ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(jnp.asarray(used, jnp.int32).reshape(1), xp, *flat_ops)
+    )(jnp.asarray(used, jnp.int32).reshape(1), xp, xp, xp, *flat_ops)
     return out[:n_exp]
 
 

@@ -116,7 +116,7 @@ def _grid_topk_kernel(*refs, k: int, cap: int, ncells: int, tile_q: int,
     ival_s = refs[ncells + 4] if idx_bound == 0 else None
     w = ncells * cap
     pw = 1
-    while pw < (idx_bound + 1 if idx_bound else w):
+    while pw < (idx_bound if idx_bound else w):
         pw *= 2
     low_mask = pw - 1
     sent = jnp.int32(0x7F800000 | low_mask)
@@ -140,7 +140,13 @@ def _grid_topk_kernel(*refs, k: int, cap: int, ncells: int, tile_q: int,
         good = (ibp1 > 0) & (d2 <= r2) & qv
         bits = jax.lax.bitcast_convert_type(
             jnp.where(good, d2, _INF), jnp.int32)
-        payload = ibp1 if idx_bound else colc + c * cap
+        # payload is the RAW index (ibp1 - 1), not idx+1: empty slots
+        # (ibp1=0) would alias payload -1&mask, but they pack d2=_INF and
+        # are either never extracted or filtered by the `good` guard below
+        # — and dropping the +1 lets idx_bound = 2^bits exactly (the KITTI
+        # 131072-point row fits the 17-bit budget this way)
+        payload = (jnp.bitwise_and(ibp1 - 1, jnp.int32(low_mask))
+                   if idx_bound else colc + c * cap)
         packed_s[:, c * cap:(c + 1) * cap] = jnp.bitwise_or(
             jnp.bitwise_and(bits, jnp.int32(~low_mask)), payload)
         if ival_s is not None:
@@ -155,7 +161,7 @@ def _grid_topk_kernel(*refs, k: int, cap: int, ncells: int, tile_q: int,
         m = jnp.min(jnp.where(packed > m_prev, packed, sent),
                     axis=-1, keepdims=True)
         if idx_bound:
-            ival = jnp.bitwise_and(m, jnp.int32(low_mask)) - 1
+            ival = jnp.bitwise_and(m, jnp.int32(low_mask))
         else:
             sel = packed == m
             ival = jnp.sum(jnp.where(sel, ivals, 0), axis=-1, keepdims=True)
@@ -231,7 +237,7 @@ def grid_topk_records(table: jax.Array, nbr_buckets: jax.Array,
         [query.astype(jnp.float32),
          q_valid.astype(jnp.float32)[:, None]], axis=-1)
     qq = jnp.pad(qq, ((0, qp - q), (0, 0)))
-    use_idx = 0 < idx_bound <= (1 << _IDX_PACK_MAX_BITS) - 1
+    use_idx = 0 < idx_bound <= (1 << _IDX_PACK_MAX_BITS)
     # one full-width extraction.  (A per-cell threshold-skipped variant
     # measured 2-2.7x SLOWER at KITTI shape — 27 lax.cond gates per tile
     # cost more than the extraction rounds they skip, the same Mosaic

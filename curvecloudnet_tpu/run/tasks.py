@@ -227,7 +227,8 @@ def evaluate_segmentation(model, variables, dataset, task_info: TaskInfo,
                           batch_size: int = 1, max_batches: int | None = None,
                           use_tta: bool | None = None, log: Callable = print,
                           test_mode: bool = False, outdir: str | None = None,
-                          batched_tta: bool = False):
+                          batched_tta: bool = False,
+                          tta_views_per_call: int = 4):
     # batched_tta is neutral on a saturated single chip (measured: 184 vs
     # 162 ms/view at N=32k on v5e) but amortizes dispatch on small inputs.
     """Full segmentation eval: (m)IoU + throughput (+ submission dumps).
@@ -240,7 +241,7 @@ def evaluate_segmentation(model, variables, dataset, task_info: TaskInfo,
     use_tta = task_info.tta if use_tta is None else use_tta
     n_cls = task_info.n_out
     use_batched = use_tta and batched_tta and batch_size == 1
-    fwd = (make_batched_tta_eval(model) if use_batched
+    fwd = (make_batched_tta_eval(model, tta_views_per_call) if use_batched
            else make_tta_eval(model, with_stats=True))
     post = make_eval_post(n_cls, task_info.metric_ignore)
     hist = jnp.zeros((n_cls, n_cls), jnp.int32)

@@ -52,12 +52,18 @@ def main():
 
     dataset = D.SyntheticLidarSeg(n_samples=n_scans + 2, n_pad=n_pad,
                                   n_classes=info.n_out, seed=2)
+    # CCN_PROD_BATCHED=<views/call> A/Bs the fatter-dispatch TTA path
+    # (12 views in 12/v dispatches; round-4 verdict #3)
+    batched = int(os.environ.get("CCN_PROD_BATCHED", "0"))
+    kw = dict(batched_tta=batched > 0)
+    if batched > 1:
+        kw["tta_views_per_call"] = batched
     # warmup epoch of 2 scans compiles the TTA forward + postprocess
     T.evaluate_segmentation(model, variables, dataset, info, batch_size=1,
-                            max_batches=2, log=lambda *a, **k: None)
+                            max_batches=2, log=lambda *a, **k: None, **kw)
     res = T.evaluate_segmentation(model, variables, dataset, info,
                                   batch_size=1, max_batches=n_scans,
-                                  log=lambda *a, **k: None)
+                                  log=lambda *a, **k: None, **kw)
     out = {"production_points_per_sec": round(res["points_per_sec"], 1),
            "mean_forward_s": round(res["mean_forward_s"], 5),
            "n_scans": n_scans, "n_pad": n_pad,

@@ -449,6 +449,36 @@ def main():
     check("bf16 packed-position round-trip in-graph",
           pos_pack_ingraph_check)
 
+    def conv1d_chain_check():
+        """conv1d chain megakernel (ops/pallas_conv1d.py) compiled vs the
+        XLA exact-path math at a flagship-like shape."""
+        from curvecloudnet_tpu.ops import curve1d, pallas_conv1d
+
+        rng = np.random.default_rng(11)
+        n_exp, c0, h = 12300, 14, 2
+        used = 11900
+        xe = rng.normal(size=(n_exp, c0)).astype(np.float32)
+        xe[used:] = 0.0
+        ws, cin = [], c0
+        for cout in (32, 32, 32):
+            ws.append((jnp.asarray(rng.normal(
+                size=((h + 1) * cin, cout)).astype(np.float32) * 0.1),
+                jnp.asarray(rng.normal(size=cout).astype(np.float32) * .1)))
+            cin = cout
+        got = np.asarray(pallas_conv1d.conv1d_chain_eval(
+            jnp.asarray(xe), tuple(ws), used, half_k=h))
+        a = jnp.asarray(xe)
+        mask = (jnp.arange(n_exp) < used)[:, None]
+        for w, bb in ws:
+            win = curve1d.window_concat_nomask(a[None], h)[0]
+            a = jnp.where(mask, jax.nn.leaky_relu(
+                win @ w + bb, negative_slope=0.01), 0.0)
+        want = np.asarray(a)
+        err = np.abs(got - want).max() / max(np.abs(want).max(), 1e-6)
+        assert err < 8e-3, f"conv1d chain relmax {err}"
+
+    check("conv1d chain megakernel", conv1d_chain_check)
+
     if FAILURES:
         print(f"SMOKE FAILED: {FAILURES}", flush=True)
         sys.exit(1)
