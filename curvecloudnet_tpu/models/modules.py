@@ -186,16 +186,20 @@ def _group_conv(local_nn: MLP, attend_nn: Optional[MLP], step: StepSpec,
             # the two separate gathers (positions ride as exact 3x-bf16
             # residual triplets, ops/interpolate.py POS_PACK_CH; k-major
             # additionally dispatches to the tile-unique MXU gather)
+            # eval: skip the invalid-slot zero select — every consumer of
+            # the message slab masks (fused kernels: maskf; unfused:
+            # masked BN + aggregate fills), so -1 slots may carry finite
+            # row-0 garbage (gather_neighbors fill=False contract)
             xj, pj = neighbors.gather_neighbors_with_pos(
                 x_src, pos_src, idx, layout="kq" if k_major else None,
-                train=train)
+                train=train, fill=train)
             rel = pj - dst.astype(jnp.float32)
             if step.normalize_radius and step.radius:
                 rel = rel / step.radius
             return jnp.concatenate([xj, rel.astype(xj.dtype)], axis=-1)
         rel = neighbors.gather_neighbors(
             pos_src, idx, layout="kq" if k_major else None,
-            train=train) - dst
+            train=train, fill=train) - dst
         if step.normalize_radius and step.radius:
             rel = rel / step.radius
         return rel

@@ -515,7 +515,7 @@ def _tile_gather_preps(idx: jax.Array, n_src: int):
 
 def gather_neighbors(x: jax.Array, idx: jax.Array,
                      layout: Optional[str] = None,
-                     train: bool = False) -> jax.Array:
+                     train: bool = False, fill: bool = True) -> jax.Array:
     """Gather features for dense neighbor indices.
 
     x: (B, N, C); idx: (B, Q, K) with -1 padding -> (B, Q, K, C) with zeros
@@ -527,6 +527,12 @@ def gather_neighbors(x: jax.Array, idx: jax.Array,
     queries share ~7x of their neighbor rows, so fetching each tile's
     unique rows once and routing them on the MXU beats the ~7ns/row HBM
     gather floor — and its VJP replaces the Q*K-row scatter.
+
+    ``fill=False`` skips the invalid-slot zero select: padded slots read
+    row 0 (finite garbage).  Only valid when EVERY consumer masks by the
+    neighbor-validity mask before anything unmasked (aggregation fills /
+    masked BN / attend logits mask) — true for the eval grouped-conv
+    paths, where the (B, Q, K, C) select costs a full elementwise pass.
     """
     if layout == "kq" and _tile_gather_on(train):
         from . import pallas_gather as pg
@@ -540,10 +546,13 @@ def gather_neighbors(x: jax.Array, idx: jax.Array,
             preps = _tile_gather_preps(idx, x.shape[1])
             out = jnp.stack([pg.gather_rows(x[b], idx[b], prep=preps[b])
                              for b in range(x.shape[0])])
-            return jnp.where((idx >= 0)[..., None], out, 0.0)
+            # -1 slots read row 0 inside the kernel (idx clamped), same
+            # finite-garbage contract as the plain path below
+            return (jnp.where((idx >= 0)[..., None], out, 0.0)
+                    if fill else out)
     safe = jnp.maximum(idx, 0)
     out = jax.vmap(lambda xb, ib: xb[ib])(x, safe)
-    return jnp.where((idx >= 0)[..., None], out, 0.0)
+    return jnp.where((idx >= 0)[..., None], out, 0.0) if fill else out
 
 
 @jax.custom_vjp
@@ -599,7 +608,7 @@ _packed_gather_xgrad.defvjp(_packed_gather_xgrad_fwd,
 def gather_neighbors_with_pos(x: jax.Array, pos: jax.Array,
                               idx: jax.Array,
                               layout: Optional[str] = None,
-                              train: bool = False):
+                              train: bool = False, fill: bool = True):
     """One combined row gather of (features, exact f32 positions).
 
     HBM gathers charge per ROW (~7ns on v5e regardless of width), so
@@ -634,6 +643,8 @@ def gather_neighbors_with_pos(x: jax.Array, pos: jax.Array,
                    for b in range(x.shape[0])]   # no vmap: see above
             x_nbr = jnp.stack([r[0] for r in res])
             p_nbr = jnp.stack([r[1] for r in res])
+            if not fill:
+                return x_nbr, p_nbr
             m = (idx >= 0)[..., None]
             return jnp.where(m, x_nbr, 0.0), jnp.where(m, p_nbr, 0.0)
     xb = x if x.dtype == jnp.float32 else x.astype(jnp.bfloat16)
@@ -654,10 +665,10 @@ def gather_neighbors_with_pos(x: jax.Array, pos: jax.Array,
                        else _unpack_pos_bf16(p_nbr))
     if x.dtype == jnp.float32:
         rec = jnp.concatenate([x, pos], axis=-1)
-        rec_nbr = gather_neighbors(rec, idx)
+        rec_nbr = gather_neighbors(rec, idx, fill=fill)
         return rec_nbr[..., :-3], rec_nbr[..., -3:]
     rec = jnp.concatenate([xb, p_pack], axis=-1)
-    rec_nbr = gather_neighbors(rec, idx)
+    rec_nbr = gather_neighbors(rec, idx, fill=fill)
     return (rec_nbr[..., :-POS_PACK_CH],
             _unpack_pos_bf16(rec_nbr[..., -POS_PACK_CH:]))
 

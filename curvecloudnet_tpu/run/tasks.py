@@ -161,6 +161,8 @@ def make_batched_tta_eval(model, views_per_call: int = 4):
                   np.float32)], axis=-1)  # (12, 2, 2)
     assert 12 % v == 0
 
+    from ..ops import telemetry
+
     def fwd_chunk(variables, cloud, fs):
         xy = cloud.pos[..., :2] * fs[:, None, :, 0] * fs[:, None, :, 1]
         pos = jnp.concatenate(
@@ -171,19 +173,24 @@ def make_batched_tta_eval(model, views_per_call: int = 4):
                          jnp.broadcast_to(a[0][None], (v,) + a.shape[1:]))
         c = cloud.replace(pos=pos, x=rep(cloud.x), valid=rep(cloud.valid),
                           curve_id=rep(cloud.curve_id))
-        logits, out_valid = model.apply(variables, c, train=False,
-                                        key=jax.random.PRNGKey(0))
-        return jnp.sum(logits, axis=0, keepdims=True), out_valid[:1]
+        with telemetry.capture() as cap:
+            logits, out_valid = model.apply(variables, c, train=False,
+                                            key=jax.random.PRNGKey(0))
+            stats = cap.current()
+        return jnp.sum(logits, axis=0, keepdims=True), out_valid[:1], stats
 
     fwd_chunk = jax.jit(fwd_chunk)
 
     def fwd(variables, cloud):
-        total, out_valid = None, None
+        total, out_valid, stats = None, None, {}
         for s in range(0, 12, v):
             fs = jnp.asarray(all_fs[s:s + v])
-            part, out_valid = fwd_chunk(variables, cloud, fs)
+            part, out_valid, st = fwd_chunk(variables, cloud, fs)
             total = part if total is None else total + part
-        return total / 12.0, out_valid
+            for k_, v_ in (st or {}).items():
+                stats[k_] = (jnp.maximum(stats[k_], v_) if k_ in stats
+                             else v_)  # conservative: worst view chunk
+        return total / 12.0, out_valid, stats
 
     return fwd
 
@@ -227,8 +234,8 @@ def evaluate_segmentation(model, variables, dataset, task_info: TaskInfo,
                           batch_size: int = 1, max_batches: int | None = None,
                           use_tta: bool | None = None, log: Callable = print,
                           test_mode: bool = False, outdir: str | None = None,
-                          batched_tta: bool = False,
-                          tta_views_per_call: int = 4):
+                          batched_tta: bool | None = None,
+                          tta_views_per_call: int = 2):
     # batched_tta is neutral on a saturated single chip (measured: 184 vs
     # 162 ms/view at N=32k on v5e) but amortizes dispatch on small inputs.
     """Full segmentation eval: (m)IoU + throughput (+ submission dumps).
@@ -240,6 +247,15 @@ def evaluate_segmentation(model, variables, dataset, task_info: TaskInfo,
 
     use_tta = task_info.tta if use_tta is None else use_tta
     n_cls = task_info.n_out
+    if batched_tta is None:
+        # v5e A/B at the flagship pad (12 scans, device bench 731.6k):
+        # per-view 472.6k | v=2 634.3k | v=3 620.9k | v=4 588.4k | v=6
+        # 541.4k — per-view dispatch submission through the tunnel is the
+        # production bottleneck, and the chunked path's sum-order equals
+        # the per-view path's post() up to fp reassociation.  Default ON
+        # for single-scan TTA on accelerators; CPU (tests) keeps the
+        # cheaper-to-compile per-view path.
+        batched_tta = jax.default_backend() != "cpu"
     use_batched = use_tta and batched_tta and batch_size == 1
     fwd = (make_batched_tta_eval(model, tta_views_per_call) if use_batched
            else make_tta_eval(model, with_stats=True))

@@ -74,6 +74,16 @@ def ref_base():
 
     mods = stubs.build_stub_modules()
     saved = {k: sys.modules.get(k) for k in mods}
+    # reference modules already imported under test_reference_exec's
+    # MINIMAL stubs hold ``_unavailable`` placeholders in their globals —
+    # purge so every ``src.*`` module re-imports against the full stubs
+    # (and purge again on teardown so later fixtures re-import fresh)
+    def _purge_src():
+        for k in [m for m in sys.modules if m == "src"
+                  or m.startswith("src.")]:
+            del sys.modules[k]
+
+    _purge_src()
     sys.modules.update(mods)
     sys.path.insert(0, REF)
     try:
@@ -86,6 +96,7 @@ def ref_base():
         yield types.SimpleNamespace(base=base, point_ops=point_ops)
     finally:
         sys.path.remove(REF)
+        _purge_src()
         for k, v in saved.items():
             if v is None:
                 sys.modules.pop(k, None)

@@ -120,12 +120,16 @@ def main(nprocs: int = 2, local_devices: int = 2, timeout: int = 900):
             raise RuntimeError(
                 f"child failed rc={p.returncode}:\n{out[-3000:]}")
 
+    import re
+
     infos = {}
     for out in outs:
         for line in out.splitlines():
-            if line.startswith("MPCHILD"):
-                parts = dict(kv.split("=", 1) for kv in line.split()[1:])
-                infos[int(parts["pid"])] = parts
+            m = re.match(r"MPCHILD pid=(\d+) loss=(\S+) shard=(\[.*\])",
+                         line)
+            if m:
+                infos[int(m.group(1))] = {"loss": m.group(2),
+                                          "shard": m.group(3)}
     assert len(infos) == nprocs, f"missing child reports: {outs}"
     losses = {v["loss"] for v in infos.values()}
     assert len(losses) == 1, f"per-process losses differ: {losses}"
