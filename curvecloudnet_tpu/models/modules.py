@@ -973,6 +973,46 @@ class SymmetricCurveConvStep(nn.Module):
             for i in range(1, len(self.dims))
         ]
 
+        # Train megakernel: the (2L+1)-pass exact-BN chain with custom VJP
+        # (ops/pallas_conv1d.conv1d_chain_train); running stats written
+        # through tiny stats_override BN calls (the _fused_group_train
+        # pattern).
+        kt = os.environ.get("CCN_CONV_KERNEL_TRAIN", "1")
+        use_ktrain = (train and not self.is_initializing()
+                      and kt not in ("0",)
+                      and (jax.default_backend() != "cpu"
+                           or kt == "interp"))
+        if use_ktrain:
+            try:
+                p = self.variables["params"]
+            except (KeyError, AttributeError):
+                p = None
+            if p is not None and "conv_0" in p:
+                from ..ops import pallas_conv1d
+
+                raw = tuple(
+                    (p[f"conv_{i}"]["kernel"],
+                     p[f"conv_{i}"].get("bias", jnp.zeros(
+                         (p[f"conv_{i}"]["kernel"].shape[1],),
+                         jnp.float32)),
+                     p[f"norm_{i}"]["scale"], p[f"norm_{i}"]["bias"])
+                    for i in range(nconvs))
+                xe = curve1d.gap_scatter(x, exp_idx, n_exp)
+                used = jnp.sum(mask_exp, axis=-1).astype(jnp.int32)
+                out, stats = pallas_conv1d.conv1d_chain_train(
+                    xe, raw, used, half_k, 1024, kt == "interp")
+                for i, (_, norm_i) in enumerate(layers):
+                    # running-stat write with the kernel's exact batch
+                    # stats; the tiny output is discarded
+                    norm_i(jnp.zeros((1, 1, raw[i][0].shape[1]),
+                                     jnp.float32),
+                           use_running_average=False,
+                           momentum=bn_momentum,
+                           stats_override=jax.lax.stop_gradient(stats[i]))
+                xf = curve1d.gap_gather(out.astype(x.dtype), exp_idx,
+                                        valid)
+                return cloud.with_features(xf)
+
         # Eval megakernel: the whole chain over the gap-expanded row in
         # ONE Pallas pass (ops/pallas_conv1d.py) — replaces both the
         # expanded-row XLA convs and the halo-correction machinery.

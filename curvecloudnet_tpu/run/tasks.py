@@ -8,6 +8,7 @@ TTA protocol, metric cropping) is declared in ``TASKS``.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import time
 from typing import Callable, Dict, Optional
 
@@ -163,7 +164,7 @@ def make_batched_tta_eval(model, views_per_call: int = 4):
 
     from ..ops import telemetry
 
-    def fwd_chunk(variables, cloud, fs):
+    def _chunk(variables, cloud, fs, with_stats):
         xy = cloud.pos[..., :2] * fs[:, None, :, 0] * fs[:, None, :, 1]
         pos = jnp.concatenate(
             [xy, jnp.broadcast_to(cloud.pos[..., 2:],
@@ -173,23 +174,31 @@ def make_batched_tta_eval(model, views_per_call: int = 4):
                          jnp.broadcast_to(a[0][None], (v,) + a.shape[1:]))
         c = cloud.replace(pos=pos, x=rep(cloud.x), valid=rep(cloud.valid),
                           curve_id=rep(cloud.curve_id))
+        if not with_stats:
+            logits, out_valid = model.apply(variables, c, train=False,
+                                            key=jax.random.PRNGKey(0))
+            return jnp.sum(logits, axis=0, keepdims=True), out_valid[:1], {}
         with telemetry.capture() as cap:
             logits, out_valid = model.apply(variables, c, train=False,
                                             key=jax.random.PRNGKey(0))
             stats = cap.current()
         return jnp.sum(logits, axis=0, keepdims=True), out_valid[:1], stats
 
-    fwd_chunk = jax.jit(fwd_chunk)
+    # telemetry rides only the LAST chunk (same contract as the per-view
+    # path, whose consume keeps the last view's stats): the extra stat
+    # outputs on every chunk dispatch measured ~5 ms/view of added
+    # tunnel cost, and an on-device per-chunk dict merge was far worse
+    # (53.9 -> 107.5 ms/view)
+    fwd_plain = jax.jit(functools.partial(_chunk, with_stats=False))
+    fwd_stats = jax.jit(functools.partial(_chunk, with_stats=True))
 
     def fwd(variables, cloud):
         total, out_valid, stats = None, None, {}
         for s in range(0, 12, v):
             fs = jnp.asarray(all_fs[s:s + v])
-            part, out_valid, st = fwd_chunk(variables, cloud, fs)
+            fc = fwd_stats if s + v >= 12 else fwd_plain
+            part, out_valid, stats = fc(variables, cloud, fs)
             total = part if total is None else total + part
-            for k_, v_ in (st or {}).items():
-                stats[k_] = (jnp.maximum(stats[k_], v_) if k_ in stats
-                             else v_)  # conservative: worst view chunk
         return total / 12.0, out_valid, stats
 
     return fwd
@@ -316,8 +325,7 @@ def evaluate_segmentation(model, variables, dataset, task_info: TaskInfo,
         batch = to_device_batch(np_batch, task_info.task)
         t0 = time.time()
         if use_batched:
-            mean_logits, out_valid = fwd(variables, batch.cloud)
-            stats = {}
+            mean_logits, out_valid, stats = fwd(variables, batch.cloud)
             hist_delta = post((mean_logits,), batch.labels, out_valid)[1]
         else:
             # dispatch all views without intermediate adds or blocks: every

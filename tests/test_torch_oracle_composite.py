@@ -401,3 +401,20 @@ def test_curve_conv_v2_halo_equals_expansion(rng, monkeypatch, depth):
     got_k = np.asarray(mod.apply(vd, cloud, train=False).x)
     monkeypatch.delenv("CCN_CONV_KERNEL")
     np.testing.assert_allclose(got_k, want, rtol=1e-4, atol=1e-4)
+
+    # TRAIN-mode chain kernel: values + updated running stats match the
+    # exact gap-expanded path (gradient parity is pinned at the op level,
+    # tests/test_pallas_conv1d.py::test_train_chain_values_and_grads)
+    monkeypatch.setenv("CCN_CONV_HALO", "0")
+    want_t, vt = mod.apply(vd, cloud, train=True, mutable=["batch_stats"])
+    monkeypatch.setenv("CCN_CONV_KERNEL_TRAIN", "interp")
+    got_t, vk = mod.apply(vd, cloud, train=True, mutable=["batch_stats"])
+    monkeypatch.delenv("CCN_CONV_KERNEL_TRAIN")
+    np.testing.assert_allclose(np.asarray(got_t.x), np.asarray(want_t.x),
+                               rtol=2e-4, atol=2e-4)
+    for nrm in [f"norm_{i}" for i in range(depth)]:
+        for leaf in ("mean", "var"):
+            np.testing.assert_allclose(
+                np.asarray(vk["batch_stats"][nrm][leaf]),
+                np.asarray(vt["batch_stats"][nrm][leaf]),
+                rtol=2e-4, atol=2e-4)
