@@ -976,8 +976,14 @@ class SymmetricCurveConvStep(nn.Module):
         # Train megakernel: the (2L+1)-pass exact-BN chain with custom VJP
         # (ops/pallas_conv1d.conv1d_chain_train); running stats written
         # through tiny stats_override BN calls (the _fused_group_train
-        # pattern).
-        kt = os.environ.get("CCN_CONV_KERNEL_TRAIN", "1")
+        # pattern).  DEFAULT OFF: measured NEGATIVE on v5e (train bench
+        # 295.8k -> 273.9k, span 118.2 -> 128.0 ms) — the 9 small
+        # custom-calls per step act as scheduling barriers that cost more
+        # than the ~4 ms of XLA conv work they replace (the same
+        # barrier economics as CCN_FUSED_GROUP's edge-off finding in
+        # round 3).  Kept behind CCN_CONV_KERNEL_TRAIN=1 with full
+        # gradient-parity tests for hardware where the calculus differs.
+        kt = os.environ.get("CCN_CONV_KERNEL_TRAIN", "0")
         use_ktrain = (train and not self.is_initializing()
                       and kt not in ("0",)
                       and (jax.default_backend() != "cpu"

@@ -182,24 +182,37 @@ def make_batched_tta_eval(model, views_per_call: int = 4):
             logits, out_valid = model.apply(variables, c, train=False,
                                             key=jax.random.PRNGKey(0))
             stats = cap.current()
-        return jnp.sum(logits, axis=0, keepdims=True), out_valid[:1], stats
+        # pack the stat scalars into ONE array: the host later pays one
+        # device pull instead of one per channel (each pull is a tunnel
+        # round trip).  Key names can't cross the jit boundary — record
+        # them through the trace-time side channel.
+        keys = tuple(stats.keys())
+        stat_keys.clear()
+        stat_keys.extend(keys)
+        vec = (jnp.stack([jnp.asarray(stats[k], jnp.float32).reshape(())
+                          for k in keys])
+               if keys else jnp.zeros((0,), jnp.float32))
+        return jnp.sum(logits, axis=0, keepdims=True), out_valid[:1], vec
 
     # telemetry rides only the LAST chunk (same contract as the per-view
     # path, whose consume keeps the last view's stats): the extra stat
     # outputs on every chunk dispatch measured ~5 ms/view of added
     # tunnel cost, and an on-device per-chunk dict merge was far worse
     # (53.9 -> 107.5 ms/view)
+    stat_keys: list = []
     fwd_plain = jax.jit(functools.partial(_chunk, with_stats=False))
     fwd_stats = jax.jit(functools.partial(_chunk, with_stats=True))
 
     def fwd(variables, cloud):
-        total, out_valid, stats = None, None, {}
+        total, out_valid, vec = None, None, None
         for s in range(0, 12, v):
             fs = jnp.asarray(all_fs[s:s + v])
-            fc = fwd_stats if s + v >= 12 else fwd_plain
-            part, out_valid, stats = fc(variables, cloud, fs)
+            if s + v >= 12:
+                part, out_valid, vec = fwd_stats(variables, cloud, fs)
+            else:
+                part, out_valid, _ = fwd_plain(variables, cloud, fs)
             total = part if total is None else total + part
-        return total / 12.0, out_valid, stats
+        return total / 12.0, out_valid, ("packed", tuple(stat_keys), vec)
 
     return fwd
 
@@ -290,6 +303,10 @@ def evaluate_segmentation(model, variables, dataset, task_info: TaskInfo,
     def consume(entry):
         nonlocal n_pts
         mean_logits, hist_delta, stats, cloud_valid, metas, nv = entry
+        if isinstance(stats, tuple) and stats and stats[0] == "packed":
+            _, keys, vec = stats
+            stats = ({} if vec is None
+                     else dict(zip(keys, np.asarray(vec))))
         for sk, sv in (stats or {}).items():
             stats_acc.setdefault(sk, []).append(float(sv))
         n_pts += nv

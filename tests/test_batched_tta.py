@@ -27,7 +27,7 @@ def test_batched_tta_matches_sequential():
     seq_mean = np.asarray(logits_sum / 12)
 
     batched = T.make_batched_tta_eval(model)
-    bat_mean, bov = batched(variables, cloud)
+    bat_mean, bov, _stats = batched(variables, cloud)
     bat_mean = np.asarray(bat_mean)
 
     v = np.asarray(ov)[0]
