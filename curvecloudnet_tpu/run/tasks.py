@@ -146,13 +146,18 @@ def make_eval_post(n_cls: int, metric_ignore):
     return jax.jit(post)
 
 
-def make_batched_tta_eval(model, views_per_call: int = 4):
+def make_batched_tta_eval(model, views_per_call: int = 4, n_cls=None,
+                          metric_ignore=None):
     """The 12 TTA views of a (B=1) cloud as view-batched forwards.
 
     Expanding views into the batch axis amortizes per-dispatch fixed costs
     vs the reference's sequential TTA loop (nuscenes_seg.py:91-106); views
     are chunked (default 4/call) to bound activation memory at lidar scale.
-    Returns fn(variables, cloud) -> (mean_logits (1, N, C), valid (1, N)).
+    Returns fn(variables, cloud) -> (mean_logits (1, N, C), valid (1, N),
+    packed-telemetry).  With ``n_cls`` set, the POSTPROCESS (argmax +
+    confusion-histogram delta) folds into the final chunk's dispatch —
+    fn(variables, cloud, labels) additionally returns hist_delta, saving
+    one whole dispatch round trip per scan through the tunnel.
     """
     v = views_per_call
     all_fs = np.stack(
@@ -194,6 +199,17 @@ def make_batched_tta_eval(model, views_per_call: int = 4):
                if keys else jnp.zeros((0,), jnp.float32))
         return jnp.sum(logits, axis=0, keepdims=True), out_valid[:1], vec
 
+    def _chunk_final(variables, cloud, fs, total_prev, labels):
+        part, out_valid, vec = _chunk(variables, cloud, fs,
+                                      with_stats=True)
+        mean_logits = (total_prev + part) / 12.0
+        pred = jnp.argmax(mean_logits, axis=-1)
+        lv = out_valid
+        if metric_ignore is not None:
+            lv = lv & (labels != metric_ignore)
+        hist = M.masked_hist(pred, labels, lv, n_cls)
+        return mean_logits, out_valid, vec, hist
+
     # telemetry rides only the LAST chunk (same contract as the per-view
     # path, whose consume keeps the last view's stats): the extra stat
     # outputs on every chunk dispatch measured ~5 ms/view of added
@@ -202,12 +218,19 @@ def make_batched_tta_eval(model, views_per_call: int = 4):
     stat_keys: list = []
     fwd_plain = jax.jit(functools.partial(_chunk, with_stats=False))
     fwd_stats = jax.jit(functools.partial(_chunk, with_stats=True))
+    fwd_final = jax.jit(_chunk_final) if n_cls is not None else None
 
-    def fwd(variables, cloud):
+    def fwd(variables, cloud, labels=None):
         total, out_valid, vec = None, None, None
         for s in range(0, 12, v):
             fs = jnp.asarray(all_fs[s:s + v])
-            if s + v >= 12:
+            last = s + v >= 12
+            if last and fwd_final is not None:
+                mean_logits, out_valid, vec, hist = fwd_final(
+                    variables, cloud, fs, total, labels)
+                return (mean_logits, out_valid,
+                        ("packed", tuple(stat_keys), vec), hist)
+            if last:
                 part, out_valid, vec = fwd_stats(variables, cloud, fs)
             else:
                 part, out_valid, _ = fwd_plain(variables, cloud, fs)
@@ -279,8 +302,9 @@ def evaluate_segmentation(model, variables, dataset, task_info: TaskInfo,
         # cheaper-to-compile per-view path.
         batched_tta = jax.default_backend() != "cpu"
     use_batched = use_tta and batched_tta and batch_size == 1
-    fwd = (make_batched_tta_eval(model, tta_views_per_call) if use_batched
-           else make_tta_eval(model, with_stats=True))
+    fwd = (make_batched_tta_eval(model, tta_views_per_call, n_cls=n_cls,
+                                 metric_ignore=task_info.metric_ignore)
+           if use_batched else make_tta_eval(model, with_stats=True))
     post = make_eval_post(n_cls, task_info.metric_ignore)
     hist = jnp.zeros((n_cls, n_cls), jnp.int32)
     times, n_pts = [], 0
@@ -342,8 +366,10 @@ def evaluate_segmentation(model, variables, dataset, task_info: TaskInfo,
         batch = to_device_batch(np_batch, task_info.task)
         t0 = time.time()
         if use_batched:
-            mean_logits, out_valid, stats = fwd(variables, batch.cloud)
-            hist_delta = post((mean_logits,), batch.labels, out_valid)[1]
+            # postprocess rides the final chunk's dispatch (one fewer
+            # tunnel round trip per scan)
+            mean_logits, out_valid, stats, hist_delta = fwd(
+                variables, batch.cloud, batch.labels)
         else:
             # dispatch all views without intermediate adds or blocks: every
             # extra dispatch through the tunnel is serial host time
