@@ -190,6 +190,14 @@ def run_viz(model, variables, val_ds, info, cfg, outdir, n_samples=4,
             seg_png = os.path.join(viz_dir, f"seg_{i}.png")  # per-point map
             plot_segmentation(pos, pred, gt, valid, cmap=cm, path=seg_png)
             logger.log_media(f"viz/seg_{i}", seg_png)
+            # interactive plotly figure alongside the PNG, like the
+            # reference's wandb plotly logging (visualize_plotly.py:19-331)
+            # — lands as wandb.Plotly online, an .html under media/ offline
+            from .visualization import to_plotly_figure
+
+            pfig = to_plotly_figure(pos, pred, valid)
+            if pfig is not None:
+                logger.log_media(f"viz/seg_interactive_{i}", pfig)
 
         # grouping edges of the first sgcnn/sa radius on this cloud
         # (reference visualize_plotly.py:284-306)
