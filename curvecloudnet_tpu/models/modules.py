@@ -820,11 +820,15 @@ class EdgeConvStep(nn.Module):
             if not train:
                 def first_map_km(dense):
                     # k-major slab for the group megakernel: the gather
-                    # follows the transposed index shape (see _group_conv)
+                    # follows the transposed index shape (see _group_conv).
+                    # fill=False: the fused kernel masks every slot by
+                    # nbr_mask (aggregation fill / attend logits), so the
+                    # invalid-slot zero select is a redundant full
+                    # elementwise pass over the slab
                     u, v = _split_uv(dense)
                     return (neighbors.gather_neighbors(
                         u, jnp.swapaxes(nbr_idx, 1, 2), layout="kq",
-                        train=False)
+                        train=False, fill=False)
                         + v[:, None, :, :])
 
                 fused = _fused_group_eval(
