@@ -65,5 +65,5 @@ def case(n, k, radius, cap, bits_list):
 
 if __name__ == "__main__":
     print("device:", jax.devices()[0])
-    case(73728, 32, 0.04, 192, [17, 15, 14])
-    case(23040, 32, 0.04, 192, [15, 13])
+    case(73728, 32, 0.04, 192, [17, 15, 14, 13, 12])
+    case(23040, 32, 0.04, 192, [15, 13, 12, 11])
