@@ -226,6 +226,8 @@ def make_batched_tta_eval(model, views_per_call: int = 4, n_cls=None,
             fs = jnp.asarray(all_fs[s:s + v])
             last = s + v >= 12
             if last and fwd_final is not None:
+                if total is None:       # v == 12: single-chunk TTA
+                    total = jnp.float32(0.0)
                 mean_logits, out_valid, vec, hist = fwd_final(
                     variables, cloud, fs, total, labels)
                 return (mean_logits, out_valid,

@@ -146,19 +146,26 @@ class MessagePassing(torch.nn.Module):
         self.node_dim = 0
 
     def propagate(self, edge_index, x=None, pos=None, size=None):
+        import inspect
+
         j, i = edge_index[0].long(), edge_index[1].long()
-        kwargs = {}
+        cand = {}
+        dim_size = None
         if x is not None:
             x_src = x[0] if isinstance(x, tuple) else x
-            kwargs["x_j"] = None if x_src is None else x_src[j]
+            x_dst = x[1] if isinstance(x, tuple) else x
+            cand["x_j"] = None if x_src is None else x_src[j]
+            cand["x_i"] = None if x_dst is None else x_dst[i]
+            if x_dst is not None:
+                dim_size = x_dst.size(0)
         if pos is not None:
             pos_src, pos_dst = pos if isinstance(pos, tuple) else (pos, pos)
-            kwargs["pos_i"] = pos_dst[i]
-            kwargs["pos_j"] = pos_src[j]
+            cand["pos_i"] = pos_dst[i]
+            cand["pos_j"] = pos_src[j]
             dim_size = pos_dst.size(0)
-        else:
-            dim_size = None
-        msg = self.message(**kwargs)
+        accepted = inspect.signature(self.message).parameters
+        msg = self.message(**{k: v for k, v in cand.items()
+                              if k in accepted})
         return self.aggregate(msg, i, dim_size=dim_size)
 
     def message(self, x_j=None, pos_i=None, pos_j=None):  # default

@@ -193,3 +193,96 @@ def test_full_flagship_logits_match(ref_base, monkeypatch):
     # f32 end-to-end through 33 steps: tolerances cover accumulation
     # reassociation; any sampling/neighbor mismatch produces O(1) errors
     np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+
+_REF_CFG_CLS = os.path.join(
+    REF, "configs/curvecloudnet-train/shapenet-class-curvecloudnet.yaml")
+
+
+def _tiny_object(rng, n, n_curves=24):
+    """A unit-scale scanned-object curve cloud (x=None, like the reference
+    object datasets — in_dim=3 is xyz only, object_datasets.py:17)."""
+    lens = np.maximum(rng.multinomial(
+        n, np.ones(n_curves) / n_curves), 4)
+    lens[-1] += n - lens.sum()
+    pos = []
+    cid = []
+    for c, ln in enumerate(lens):
+        start = rng.normal(size=3) * 0.3
+        step = rng.normal(size=(ln, 3)) * 0.02
+        pos.append(start + np.cumsum(step, axis=0))
+        cid.append(np.full(ln, c))
+    pos = np.concatenate(pos).astype(np.float32)
+    pos /= max(np.linalg.norm(pos, axis=1).max(), 1e-6)  # unit sphere
+    cid = np.concatenate(cid).astype(np.int32)
+    valid = np.ones((1, n), bool)
+    return pos[None], cid[None], valid
+
+
+def test_full_classification_logits_match(ref_base, monkeypatch):
+    """shapenet-class config: conv1d-fast-V1, ball-group SA
+    (use_fast_knn=False), plain FPS downsampling, GlobalSA max pooling,
+    and the classification head — the step families the nuScenes parity
+    test doesn't reach."""
+    import yaml
+
+    from curvecloudnet_tpu import checkpoint as ckpt
+    from curvecloudnet_tpu.models import (
+        CurveCloudNet, cloud_from_arrays, parse_model_config,
+    )
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "tools"))
+    from convert_reference_config import convert_model
+
+    torch.manual_seed(1)
+    cfg = yaml.safe_load(open(_REF_CFG_CLS))
+    mcfg = dict(cfg["model"])
+    mcfg.pop("type")
+    n_out, n = 16, 1024
+
+    import copy
+
+    steps = mcfg.pop("steps")
+    feat_dims = mcfg.pop("feat_dims")
+    out_mlp = mcfg.pop("out_mlp")
+    ref = ref_base.base.ModelBase(3, n_out, steps=copy.deepcopy(steps),
+                                  feat_dims=feat_dims, out_mlp=out_mlp,
+                                  **mcfg).eval()
+    gen = torch.Generator().manual_seed(3)
+    with torch.no_grad():
+        for name, buf in ref.named_buffers():
+            if name.endswith("running_mean"):
+                buf.copy_(torch.randn(buf.shape, generator=gen) * 0.2)
+            elif name.endswith("running_var"):
+                buf.copy_(torch.rand(buf.shape, generator=gen) + 0.5)
+
+    monkeypatch.setattr(torch, "rand", lambda *s, **k: torch.zeros(*s))
+
+    rng = np.random.default_rng(11)
+    pos, cid, valid = _tiny_object(rng, n)
+
+    data = types.SimpleNamespace(
+        x=None,
+        pos=torch.from_numpy(pos[0]),
+        batch=torch.zeros(n, dtype=torch.long),
+        curve_idxs=torch.from_numpy(cid[0].astype(np.int64)),
+    )
+    with torch.no_grad():
+        want = ref(data).numpy()
+    assert want.shape == (1, n_out)
+
+    ours_cfg = convert_model(cfg["model"])
+    for s in ours_cfg["steps"]:
+        if s["step_name"] in ("sa", "sa-geo"):
+            s["budget_ratio"] = 0.95
+    spec = parse_model_config(ours_cfg, in_dim=3, n_out=n_out)
+    model = CurveCloudNet(spec, n_points=n)
+    cloud = cloud_from_arrays(jnp.asarray(pos), jnp.asarray(cid),
+                              jnp.asarray(valid), None)
+    params, bstats = ckpt.load_torch_checkpoint(
+        {k: v.numpy() for k, v in ref.state_dict().items()}, spec)
+    got, _ = model.apply({"params": params, "batch_stats": bstats},
+                         cloud, train=False, key=None)
+    got = np.asarray(got).reshape(1, n_out)
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
