@@ -286,3 +286,81 @@ def test_full_classification_logits_match(ref_base, monkeypatch):
                          cloud, train=False, key=None)
     got = np.asarray(got).reshape(1, n_out)
     np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+
+_REF_CFG_SEG = os.path.join(
+    REF, "configs/curvecloudnet-train/shapenet-seg-curvecloudnet.yaml")
+
+
+def test_full_shapenet_seg_with_category_logits_match(ref_base,
+                                                      monkeypatch):
+    """shapenet-seg config: the remaining converter path — the
+    ``with_seg_category`` head (lin_categorical one-hot category embedding
+    concatenated per point, base.py:149-153) — plus fp chains on an
+    object-scale cloud."""
+    import yaml
+
+    from curvecloudnet_tpu import checkpoint as ckpt
+    from curvecloudnet_tpu.models import (
+        CurveCloudNet, cloud_from_arrays, parse_model_config,
+    )
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "tools"))
+    from convert_reference_config import convert_model
+
+    torch.manual_seed(2)
+    cfg = yaml.safe_load(open(_REF_CFG_SEG))
+    mcfg = dict(cfg["model"])
+    mcfg.pop("type")
+    n_out, n = 50, 1024
+
+    import copy
+
+    steps = mcfg.pop("steps")
+    feat_dims = mcfg.pop("feat_dims")
+    out_mlp = mcfg.pop("out_mlp")
+    ref = ref_base.base.ModelBase(3, n_out, steps=copy.deepcopy(steps),
+                                  feat_dims=feat_dims, out_mlp=out_mlp,
+                                  **mcfg).eval()
+    gen = torch.Generator().manual_seed(5)
+    with torch.no_grad():
+        for name, buf in ref.named_buffers():
+            if name.endswith("running_mean"):
+                buf.copy_(torch.randn(buf.shape, generator=gen) * 0.2)
+            elif name.endswith("running_var"):
+                buf.copy_(torch.rand(buf.shape, generator=gen) + 0.5)
+
+    monkeypatch.setattr(torch, "rand", lambda *s, **k: torch.zeros(*s))
+
+    rng = np.random.default_rng(19)
+    pos, cid, valid = _tiny_object(rng, n)
+    category = 7
+
+    data = types.SimpleNamespace(
+        x=None,
+        pos=torch.from_numpy(pos[0]),
+        batch=torch.zeros(n, dtype=torch.long),
+        curve_idxs=torch.from_numpy(cid[0].astype(np.int64)),
+        labels=torch.tensor([category], dtype=torch.long),
+    )
+    with torch.no_grad():
+        want = ref(data).numpy()
+    assert want.shape == (n, n_out)
+
+    ours_cfg = convert_model(cfg["model"])
+    for s in ours_cfg["steps"]:
+        if s["step_name"] in ("sa", "sa-geo"):
+            s["budget_ratio"] = 0.95
+    spec = parse_model_config(ours_cfg, in_dim=3, n_out=n_out)
+    assert spec.with_seg_category
+    model = CurveCloudNet(spec, n_points=n)
+    cloud = cloud_from_arrays(jnp.asarray(pos), jnp.asarray(cid),
+                              jnp.asarray(valid), None)
+    params, bstats = ckpt.load_torch_checkpoint(
+        {k: v.numpy() for k, v in ref.state_dict().items()}, spec)
+    got, _ = model.apply({"params": params, "batch_stats": bstats},
+                         cloud, jnp.asarray([category]), train=False,
+                         key=None)
+    got = np.asarray(got)[0]
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
